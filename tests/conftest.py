@@ -1,0 +1,28 @@
+"""Test harness config: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on host CPU devices
+(``--xla_force_host_platform_device_count``), mirroring SURVEY.md §4's
+recommendation; real-TPU benchmarking happens in bench.py instead.
+
+Note: this environment's sitecustomize registers a remote-TPU PJRT plugin in
+every process and force-sets ``jax_platforms="axon,cpu"`` via jax.config
+(which overrides the JAX_PLATFORMS env var), so we must update jax.config
+back to cpu-only *after* importing jax and before any backend is touched.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert all(d.platform == "cpu" for d in jax.devices()), (
+    "tests must run on the virtual CPU mesh, not the TPU tunnel"
+)

@@ -1,0 +1,140 @@
+"""Conformer encoder composition tests: shapes, masking, batch invariance
+(reference ``tests/test_batching.py:70-120`` pins atol 0.03), both attention
+variants, and activation-checkpointing equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gigaam_tpu.config import EncoderConfig
+from gigaam_tpu.models.encoder import (
+    PosTables,
+    conformer_forward,
+    init_encoder_params,
+)
+
+
+def small_cfg(attention="rotary", **kw):
+    return EncoderConfig(
+        feat_in=16, n_layers=2, d_model=32, n_heads=4,
+        ff_expansion_factor=2, conv_kernel_size=7,
+        self_attention_model=attention, pos_emb_max_len=128, **kw)
+
+
+def run_encoder(cfg, params, feats, lengths, **kw):
+    tables = PosTables(cfg)
+    t_sub = feats.shape[1]
+    # subsampled T matches conv arithmetic: two stride-2 stages
+    for _ in range(cfg.num_subsampling_stages):
+        t_sub = (t_sub - 1) // 2 + 1
+    if cfg.self_attention_model == "rotary":
+        pos = tables.rotary(t_sub)
+    else:
+        pos = tables.relpos(t_sub)
+    return conformer_forward(params, feats, lengths, cfg, pos, **kw)
+
+
+@pytest.mark.parametrize("attention", ["rotary", "rel_pos"])
+def test_shapes_and_lengths(attention):
+    cfg = small_cfg(attention)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((3, 37, cfg.feat_in)).astype(np.float32)
+    lengths = jnp.asarray([37, 20, 5])
+
+    out, out_len, _ = run_encoder(cfg, params, jnp.asarray(feats), lengths)
+    assert out.shape == (3, 10, cfg.d_model)
+    np.testing.assert_array_equal(np.asarray(out_len), [10, 5, 2])
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("attention", ["rotary", "rel_pos"])
+def test_batch_invariance(attention):
+    """Valid frames of a short sample must match its single-sample run
+    (reference batch-invariance contract, ``tests/test_batching.py``)."""
+    cfg = small_cfg(attention)
+    params = init_encoder_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+
+    t_long, t_short = 64, 33
+    f_long = rng.standard_normal((t_long, cfg.feat_in)).astype(np.float32)
+    f_short = rng.standard_normal((t_short, cfg.feat_in)).astype(np.float32)
+
+    batch = np.zeros((2, t_long, cfg.feat_in), dtype=np.float32)
+    batch[0] = f_long
+    batch[1, :t_short] = f_short
+    out_b, len_b, _ = run_encoder(cfg, params, jnp.asarray(batch),
+                                  jnp.asarray([t_long, t_short]))
+
+    out_s, len_s, _ = run_encoder(cfg, params,
+                                  jnp.asarray(f_short[None]),
+                                  jnp.asarray([t_short]))
+
+    n = int(len_s[0])
+    assert n == int(len_b[1])
+    np.testing.assert_allclose(
+        np.asarray(out_b[1, :n]), np.asarray(out_s[0, :n]), atol=0.03)
+
+
+def test_pad_content_does_not_leak():
+    """Changing values in the padded tail must not change valid outputs."""
+    cfg = small_cfg()
+    params = init_encoder_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(2)
+
+    t, t_valid = 48, 25
+    base = rng.standard_normal((1, t, cfg.feat_in)).astype(np.float32)
+    junk = base.copy()
+    junk[0, t_valid:] = 99.0
+
+    out_a, len_a, _ = run_encoder(cfg, params, jnp.asarray(base),
+                                  jnp.asarray([t_valid]))
+    out_b, _, _ = run_encoder(cfg, params, jnp.asarray(junk),
+                              jnp.asarray([t_valid]))
+    n = int(len_a[0])
+    np.testing.assert_allclose(np.asarray(out_a[0, :n]),
+                               np.asarray(out_b[0, :n]), atol=1e-5)
+
+
+def test_remat_matches_plain():
+    cfg = small_cfg(activation_checkpointing=True)
+    cfg_plain = small_cfg(activation_checkpointing=False)
+    params = init_encoder_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(
+        rng.standard_normal((2, 32, cfg.feat_in)).astype(np.float32))
+    lengths = jnp.asarray([32, 18])
+
+    out_r, _, _ = run_encoder(cfg, params, feats, lengths, train=True)
+    out_p, _, _ = run_encoder(cfg_plain, params, feats, lengths, train=True)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_p), atol=1e-5)
+
+
+def test_bf16_close_to_fp32():
+    cfg = small_cfg()
+    params = init_encoder_params(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(
+        rng.standard_normal((2, 40, cfg.feat_in)).astype(np.float32))
+    lengths = jnp.asarray([40, 40])
+
+    out32, _, _ = run_encoder(cfg, params, feats, lengths)
+    out16, _, _ = run_encoder(cfg, params, feats, lengths,
+                              compute_dtype=jnp.bfloat16)
+    # bf16 activations: loose tolerance, same scale as reference fp16 policy
+    np.testing.assert_allclose(
+        np.asarray(out16, dtype=np.float32), np.asarray(out32), atol=0.12)
+
+
+def test_conv1d_subsampling_path():
+    cfg = small_cfg()
+    cfg.subsampling = "conv1d"
+    params = init_encoder_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(
+        rng.standard_normal((2, 29, cfg.feat_in)).astype(np.float32))
+    out, out_len, _ = run_encoder(cfg, params, feats, jnp.asarray([29, 13]))
+    assert out.shape[0] == 2 and out.shape[2] == cfg.d_model
+    assert np.isfinite(np.asarray(out)).all()
