@@ -1,0 +1,104 @@
+"""GigaAM-TPU: a TPU-native (JAX/XLA/Pallas) speech framework with the
+capabilities of the GigaAM reference stack.
+
+Public API mirrors the reference package (``gigaam/__init__.py``):
+``load_model``, model classes, ``load_audio``, ``format_time``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from .audio import format_time, load_audio
+from .config import RU_VOCAB, SAMPLE_RATE, ModelConfig, make_preset
+from .models.model import (
+    GigaAM,
+    GigaAMASR,
+    GigaAMEmo,
+    load_native,
+    model_class_for,
+    save_model,
+)
+from .types import (
+    LongformTranscriptionResult,
+    Segment,
+    TranscriptionResult,
+    Word,
+)
+
+__all__ = [
+    "GigaAM",
+    "GigaAMASR",
+    "GigaAMEmo",
+    "load_audio",
+    "format_time",
+    "load_model",
+    "save_model",
+    "make_preset",
+    "ModelConfig",
+    "TranscriptionResult",
+    "LongformTranscriptionResult",
+    "Segment",
+    "Word",
+    "SAMPLE_RATE",
+    "RU_VOCAB",
+]
+
+_CACHE_DIR = os.path.expanduser("~/.cache/gigaam_tpu")
+
+_KNOWN_MODELS = [
+    "v1_ssl", "v1_ctc", "v1_rnnt",
+    "v2_ssl", "v2_ctc", "v2_rnnt",
+    "v3_ssl", "v3_ctc", "v3_rnnt",
+    "v3_e2e_ctc", "v3_e2e_rnnt", "emo",
+    "ctc", "rnnt", "ssl", "e2e_ctc", "e2e_rnnt",
+]
+
+
+def load_model(
+    model_name: str,
+    device: Optional[str] = None,
+    download_root: Optional[str] = None,
+    init: str = "weights",
+    seed: int = 0,
+    **kw,
+) -> GigaAM:
+    """Load a model by name or from a local artifact.
+
+    Accepts (mirroring reference ``gigaam/__init__.py:110-192``):
+    * a native artifact path (``model.npz`` / ``model`` with .npz+.json pair),
+    * a reference torch ``.ckpt`` path (converted on the fly, needs torch),
+    * a known model name — resolved against ``download_root`` /
+      ``~/.cache/gigaam_tpu`` for a converted artifact; with
+      ``init="random"`` builds a randomly-initialized model instead (for
+      testing / benchmarking without weights).
+    """
+    root = download_root or _CACHE_DIR
+
+    local = os.path.expanduser(model_name)
+    if os.path.isfile(local) or os.path.isfile(local + ".npz"):
+        if local.endswith(".ckpt"):
+            from .checkpoint import convert_reference_checkpoint
+
+            cfg, params = convert_reference_checkpoint(local)
+            return model_class_for(cfg)(cfg, params=params, **kw)
+        return load_native(local, **kw)
+
+    if model_name not in _KNOWN_MODELS:
+        raise ValueError(
+            f"Model '{model_name}' not found. Available: {_KNOWN_MODELS}")
+
+    cached = os.path.join(root, f"{model_name}.npz")
+    if os.path.isfile(cached):
+        return load_native(cached, **kw)
+
+    if init == "random":
+        cfg = make_preset(model_name)
+        return model_class_for(cfg)(cfg, seed=seed, **kw)
+
+    raise FileNotFoundError(
+        f"No converted weights for '{model_name}' under {root}. Convert a "
+        f"reference checkpoint with tools/convert_checkpoint.py, or pass "
+        f"init='random' for an untrained model."
+    )

@@ -1,0 +1,348 @@
+"""User-facing model classes: GigaAM (SSL), GigaAMASR, GigaAMEmo.
+
+API mirrors the reference (``gigaam/model.py``): ``embed_audio``,
+``transcribe``, ``transcribe_longform``, ``get_probs`` — but the execution
+model is TPU-native:
+
+* everything from log-mel to greedy decode runs inside jitted functions with
+  **static shapes**; audio is padded to 1-second buckets so XLA compiles a
+  bounded set of graphs (vs the reference's fully dynamic [B, T] batches);
+* activations run in bfloat16 on accelerators (stand-in for the reference's
+  fp16 autocast, ``gigaam/model.py:36-37``), fp32 on CPU;
+* the RNNT label loop is an on-device ``lax.while_loop``
+  (``decode/rnnt_greedy.py``) — no per-step host sync.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import load_audio
+from ..config import (
+    LONGFORM_THRESHOLD_SEC,
+    SAMPLE_RATE,
+    CTCHeadConfig,
+    EmoHeadConfig,
+    ModelConfig,
+    RNNTHeadConfig,
+)
+from ..decode.ctc_greedy import ctc_extract, ctc_greedy_mask
+from ..decode.rnnt_greedy import rnnt_extract, rnnt_greedy_decode
+from ..decode.timestamps import compute_frame_shift, frames_to_words
+from ..decode.tokenizer import Tokenizer
+from ..frontend import LogMelFrontend, num_frames
+from ..models import heads as heads_lib
+from ..models.encoder import (
+    PosTables,
+    conformer_forward,
+    init_encoder_params,
+)
+from ..ops.conformer_ops import subsampled_length
+from ..types import (
+    LongformTranscriptionResult,
+    Segment,
+    TranscriptionResult,
+    Word,
+)
+
+BUCKET_SAMPLES = SAMPLE_RATE  # pad waveforms to 1 s buckets (static shapes)
+
+
+def bucket_length(n: int, bucket: int = BUCKET_SAMPLES) -> int:
+    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+
+
+def pad_wav_batch(
+    wavs: List[np.ndarray], bucket: int = BUCKET_SAMPLES
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-pad a list of waveforms to a common bucketed length."""
+    lens = np.array([len(w) for w in wavs], dtype=np.int32)
+    max_len = bucket_length(int(lens.max()), bucket)
+    out = np.zeros((len(wavs), max_len), dtype=np.float32)
+    for i, w in enumerate(wavs):
+        out[i, : len(w)] = w
+    return out, lens
+
+
+class GigaAM:
+    """Self-supervised encoder model (reference ``gigaam/model.py:16-83``)."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: Optional[Dict[str, Any]] = None,
+        seed: int = 0,
+        compute_dtype: Optional[jnp.dtype] = None,
+    ):
+        self.cfg = cfg
+        self.frontend = LogMelFrontend(cfg.preprocessor)
+        self.pos_tables = PosTables(cfg.encoder)
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+            )
+        self.compute_dtype = compute_dtype
+        if params is None:
+            params = self.init_params(jax.random.PRNGKey(seed))
+        self.params = params
+        self._encode_jit = jax.jit(self._encode_impl)
+
+    # -- params ------------------------------------------------------------
+
+    def init_params(self, key: jax.Array) -> Dict[str, Any]:
+        k_enc, k_head = jax.random.split(key)
+        params: Dict[str, Any] = {
+            "encoder": init_encoder_params(k_enc, self.cfg.encoder)
+        }
+        head = self._init_head(k_head)
+        if head is not None:
+            params["head"] = head
+        return params
+
+    def _init_head(self, key: jax.Array) -> Optional[Dict[str, Any]]:
+        return None
+
+    # -- forward -----------------------------------------------------------
+
+    def _encode_impl(self, params, wavs, lengths, pos):
+        feats, feat_lens = self.frontend.forward(wavs, lengths)
+        feats = jnp.transpose(feats, (0, 2, 1))  # [B, T, F]
+        encoded, enc_lens, _ = conformer_forward(
+            params["encoder"], feats, feat_lens, self.cfg.encoder, pos,
+            compute_dtype=self.compute_dtype)
+        return encoded, enc_lens
+
+    def _pos_for(self, padded_samples: int):
+        t_feat = num_frames(padded_samples, self.cfg.preprocessor)
+        t_sub = int(
+            subsampled_length(jnp.asarray([t_feat]),
+                              self.cfg.encoder.num_subsampling_stages,
+                              self.cfg.encoder.subs_kernel_size)[0])
+        if self.cfg.encoder.self_attention_model == "rotary":
+            return self.pos_tables.rotary(t_sub)
+        return self.pos_tables.relpos(t_sub)
+
+    def encode_batch(
+        self, wavs: List[np.ndarray]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Waveforms -> (encoded [B, T', D], enc_lens [B])."""
+        batch, lens = pad_wav_batch(wavs)
+        pos = self._pos_for(batch.shape[1])
+        return self._encode_jit(self.params, jnp.asarray(batch),
+                                jnp.asarray(lens), pos)
+
+    def prepare_wav(self, wav_file: str) -> np.ndarray:
+        return load_audio(wav_file)
+
+    def embed_audio(self, wav_file: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Extract encoder representations (``gigaam/model.py:57-63``).
+
+        Returns (encoded [1, T', D], enc_len [1]).  Note: time-major layout;
+        the reference returns [B, D, T'].
+        """
+        wav = self.prepare_wav(wav_file)
+        return self.encode_batch([wav])
+
+
+class GigaAMASR(GigaAM):
+    """ASR model with CTC or RNNT head (reference ``gigaam/model.py:86-259``)."""
+
+    def __init__(self, cfg: ModelConfig, **kw):
+        assert cfg.head is not None and cfg.decoding is not None
+        vocab = cfg.decoding.vocabulary
+        self.tokenizer = Tokenizer(vocab or [], cfg.decoding.model_path)
+        super().__init__(cfg, **kw)
+        self.blank_id = len(self.tokenizer)
+        if isinstance(cfg.head, CTCHeadConfig):
+            self._asr_fwd = jax.jit(self._ctc_forward_impl)
+
+    def _init_head(self, key: jax.Array) -> Dict[str, Any]:
+        head = self.cfg.head
+        if isinstance(head, CTCHeadConfig):
+            return heads_lib.init_ctc_head(key, head)
+        assert isinstance(head, RNNTHeadConfig)
+        return heads_lib.init_rnnt_head(key, head)
+
+    # -- fused forward+decode paths ---------------------------------------
+
+    def _ctc_forward_impl(self, params, wavs, lengths, pos):
+        encoded, enc_lens = self._encode_impl(params, wavs, lengths, pos)
+        log_probs = heads_lib.ctc_log_probs(params["head"], encoded)
+        labels, keep = ctc_greedy_mask(log_probs, enc_lens)
+        return labels, keep, enc_lens
+
+    def _decode_batch(
+        self, wavs: List[np.ndarray], word_timestamps: bool
+    ) -> List[Tuple[str, Optional[List[Word]]]]:
+        """Batched transcribe core (reference ``model.py:96-124``)."""
+        batch, lens = pad_wav_batch(wavs)
+        pos = self._pos_for(batch.shape[1])
+        if isinstance(self.cfg.head, CTCHeadConfig):
+            labels, keep, enc_lens = self._asr_fwd(
+                self.params, jnp.asarray(batch), jnp.asarray(lens), pos)
+            decoded = ctc_extract(np.asarray(labels), np.asarray(keep))
+        else:
+            encoded, enc_lens = self._encode_jit(
+                self.params, jnp.asarray(batch), jnp.asarray(lens), pos)
+            tokens, frames, counts = rnnt_greedy_decode(
+                self.params["head"], encoded, enc_lens,
+                max_symbols=self.cfg.decoding.max_symbols_per_step)
+            decoded = rnnt_extract(np.asarray(tokens), np.asarray(frames),
+                                   np.asarray(counts))
+
+        enc_lens_np = np.asarray(enc_lens)
+        out: List[Tuple[str, Optional[List[Word]]]] = []
+        for i, (ids, frames_i) in enumerate(decoded):
+            text = self.tokenizer.decode(ids)
+            words = None
+            if word_timestamps:
+                shift = compute_frame_shift(int(lens[i]), int(enc_lens_np[i]))
+                words = frames_to_words(self.tokenizer, ids, frames_i, shift)
+            out.append((text, words))
+        return out
+
+    # -- public API --------------------------------------------------------
+
+    def transcribe(
+        self, wav_file: str, word_timestamps: bool = False
+    ) -> TranscriptionResult:
+        """Transcribe a short (<25 s) audio file (``model.py:126-140``)."""
+        wav = self.prepare_wav(wav_file)
+        if len(wav) > LONGFORM_THRESHOLD_SEC * SAMPLE_RATE:
+            raise ValueError(
+                "Too long wav file, use 'transcribe_longform' method.")
+        text, words = self._decode_batch([wav], word_timestamps)[0]
+        return TranscriptionResult(text=text, words=words)
+
+    def transcribe_longform(
+        self,
+        wav_file: str,
+        word_timestamps: bool = False,
+        fr_batch_size: int = 16,
+        **kwargs,
+    ) -> LongformTranscriptionResult:
+        """VAD-segment + batched transcription (``model.py:195-259``)."""
+        from ..vad import segment_audio_file
+
+        segments, boundaries = segment_audio_file(wav_file, SAMPLE_RATE,
+                                                  **kwargs)
+        if not segments:
+            return LongformTranscriptionResult(segments=[])
+
+        result_segments: List[Segment] = []
+        for i in range(0, len(segments), fr_batch_size):
+            chunk = segments[i: i + fr_batch_size]
+            for j, (text, words) in enumerate(
+                self._decode_batch(chunk, word_timestamps)
+            ):
+                seg_start, seg_end = boundaries[i + j]
+                if word_timestamps:
+                    words = [
+                        Word(text=w.text,
+                             start=round(w.start + seg_start, 3),
+                             end=round(w.end + seg_start, 3))
+                        for w in words or []
+                    ]
+                    result_segments.append(Segment(
+                        text=text, start=seg_start, end=seg_end, words=words))
+                else:
+                    result_segments.append(Segment(
+                        text=text, start=seg_start, end=seg_end))
+        return LongformTranscriptionResult(segments=result_segments)
+
+
+class GigaAMEmo(GigaAM):
+    """Emotion recognition model (reference ``gigaam/model.py:262-317``)."""
+
+    def __init__(self, cfg: ModelConfig, **kw):
+        assert isinstance(cfg.head, EmoHeadConfig)
+        super().__init__(cfg, **kw)
+        self.id2name = cfg.id2name or [
+            str(i) for i in range(cfg.head.num_classes)]
+        self._probs_jit = jax.jit(self._probs_impl)
+
+    def _init_head(self, key: jax.Array) -> Dict[str, Any]:
+        return heads_lib.init_emo_head(key, self.cfg.head)
+
+    def _probs_impl(self, params, wavs, lengths, pos):
+        encoded, enc_lens = self._encode_impl(params, wavs, lengths, pos)
+        return heads_lib.emo_probs(params["head"], encoded, enc_lens)
+
+    def get_probs(self, wav_file: str) -> Dict[str, float]:
+        wav = self.prepare_wav(wav_file)
+        batch, lens = pad_wav_batch([wav])
+        pos = self._pos_for(batch.shape[1])
+        probs = np.asarray(self._probs_jit(
+            self.params, jnp.asarray(batch), jnp.asarray(lens), pos))[0]
+        return {self.id2name[i]: float(probs[i]) for i in range(len(probs))}
+
+
+# ---------------------------------------------------------------------------
+# Save / load of native artifacts
+# ---------------------------------------------------------------------------
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_model(model: GigaAM, path: str) -> None:
+    """Save params (npz) + config (json) as a native artifact pair."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz",
+             **_flatten(model.params))
+    cfg_path = (path[:-4] if path.endswith(".npz") else path) + ".json"
+    with open(cfg_path, "w") as f:
+        f.write(model.cfg.to_json())
+
+
+def load_params_npz(path: str) -> Dict[str, Any]:
+    with np.load(path) as z:
+        return _unflatten({k: z[k] for k in z.files})
+
+
+def model_class_for(cfg: ModelConfig):
+    return {"ssl": GigaAM, "asr": GigaAMASR, "emo": GigaAMEmo}[cfg.model_class]
+
+
+def load_native(path: str, **kw) -> GigaAM:
+    """Load a ``save_model`` artifact (.npz + .json)."""
+    base = path[:-4] if path.endswith(".npz") else path
+    with open(base + ".json") as f:
+        cfg = ModelConfig.from_dict(json.load(f))
+    params = load_params_npz(base + ".npz")
+    return model_class_for(cfg)(cfg, params=params, **kw)

@@ -1,0 +1,148 @@
+"""Voice-activity segmentation for longform transcription.
+
+The reference depends on the pyannote ``segmentation-3.0`` torch model (HF
+token gated, ``gigaam/vad_utils.py:60-77``).  We keep its *chunking policy*
+(greedy merge of speech regions into 15-22 s chunks, hard split above 30 s,
+drop below 0.2 s — ``vad_utils.py:104-136``) but make the speech detector
+pluggable, with a dependency-free energy VAD as the default:
+
+* frame RMS energy in dB over 30 ms windows / 10 ms hop,
+* adaptive threshold between the noise floor and the speech level,
+* hangover smoothing to bridge short intra-speech gaps.
+
+A neural JAX VAD can be slotted in by passing ``speech_regions_fn``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from .audio import load_audio
+from .config import SAMPLE_RATE
+
+Region = Tuple[float, float]
+
+
+def energy_speech_regions(
+    wav: np.ndarray,
+    sr: int = SAMPLE_RATE,
+    frame_ms: float = 30.0,
+    hop_ms: float = 10.0,
+    threshold_db: float = 9.0,
+    hangover_ms: float = 300.0,
+    min_speech_ms: float = 90.0,
+) -> List[Region]:
+    """Energy-based VAD: returns merged (start, end) speech regions in sec."""
+    frame = int(sr * frame_ms / 1000)
+    hop = int(sr * hop_ms / 1000)
+    if len(wav) < frame:
+        return [(0.0, len(wav) / sr)] if len(wav) else []
+
+    n = (len(wav) - frame) // hop + 1
+    idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
+    frames = wav[idx]
+    rms = np.sqrt((frames * frames).mean(axis=1) + 1e-12)
+    db = 20.0 * np.log10(rms + 1e-12)
+
+    floor = np.percentile(db, 10)
+    ceil = np.percentile(db, 95)
+    if ceil - floor < 3.0:   # roughly stationary signal: treat all as speech
+        return [(0.0, len(wav) / sr)]
+    thresh = min(floor + threshold_db, ceil - 3.0)
+    speech = db > thresh
+
+    # hangover smoothing: keep speech on for hangover frames after activity
+    hang = max(1, int(hangover_ms / hop_ms))
+    smoothed = np.zeros_like(speech)
+    run = 0
+    for i, s in enumerate(speech):
+        run = hang if s else max(0, run - 1)
+        smoothed[i] = run > 0
+
+    regions: List[Region] = []
+    start: Optional[int] = None
+    for i, s in enumerate(smoothed):
+        if s and start is None:
+            start = i
+        elif not s and start is not None:
+            regions.append((start * hop / sr, (i * hop + frame) / sr))
+            start = None
+    if start is not None:
+        regions.append((start * hop / sr, len(wav) / sr))
+
+    min_len = min_speech_ms / 1000.0
+    return [(s, e) for s, e in regions if e - s >= min_len]
+
+
+def merge_regions_into_chunks(
+    regions: List[Region],
+    total_duration: float,
+    max_duration: float = 22.0,
+    min_duration: float = 15.0,
+    strict_limit_duration: float = 30.0,
+    new_chunk_threshold: float = 0.2,
+) -> List[Region]:
+    """Greedy chunk builder with the reference's policy
+    (``gigaam/vad_utils.py:104-136``): grow a chunk with successive speech
+    regions until it would exceed ``max_duration`` (or already exceeds
+    ``min_duration``), split any chunk above ``strict_limit_duration``
+    evenly, drop chunks below ``new_chunk_threshold``."""
+    chunks: List[Region] = []
+
+    def emit(start: float, end: float) -> None:
+        duration = end - start
+        if duration > strict_limit_duration:
+            parts = int(duration / strict_limit_duration) + 1
+            step = duration / parts
+            for p in range(parts):
+                chunks.append((start + p * step, start + (p + 1) * step))
+        else:
+            chunks.append((start, end))
+
+    cur_start = cur_end = None
+    for start, end in regions:
+        start = max(0.0, start)
+        end = min(total_duration, end)
+        if cur_start is None:
+            cur_start, cur_end = start, end
+            continue
+        cur_duration = cur_end - cur_start
+        if cur_duration > new_chunk_threshold and (
+            cur_duration + (end - cur_end) > max_duration
+            or cur_duration > min_duration
+        ):
+            emit(cur_start, cur_end)
+            cur_start = start
+        cur_end = end
+
+    if cur_start is not None and (cur_end - cur_start) > new_chunk_threshold:
+        emit(cur_start, cur_end)
+    return chunks
+
+
+def segment_audio_file(
+    wav_file: str,
+    sr: int = SAMPLE_RATE,
+    max_duration: float = 22.0,
+    min_duration: float = 15.0,
+    strict_limit_duration: float = 30.0,
+    new_chunk_threshold: float = 0.2,
+    speech_regions_fn: Optional[Callable[[np.ndarray], List[Region]]] = None,
+) -> Tuple[List[np.ndarray], List[Region]]:
+    """Segment an audio file into ASR-sized chunks.
+
+    Returns (wave_segments, (start, end) boundaries), the same contract as
+    the reference ``segment_audio_file`` (``gigaam/vad_utils.py:80-136``).
+    """
+    audio = load_audio(wav_file, sr)
+    detector = speech_regions_fn or (lambda w: energy_speech_regions(w, sr))
+    regions = detector(audio)
+    chunks = merge_regions_into_chunks(
+        regions, len(audio) / sr,
+        max_duration=max_duration, min_duration=min_duration,
+        strict_limit_duration=strict_limit_duration,
+        new_chunk_threshold=new_chunk_threshold)
+    segments = [audio[int(s * sr): int(e * sr)] for s, e in chunks]
+    return segments, chunks

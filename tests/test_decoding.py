@@ -1,0 +1,149 @@
+"""Decoder tests: CTC greedy semantics, RNNT greedy vs a host-side oracle
+reimplementation of the reference label-loop, tokenizer, timestamps."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gigaam_tpu.config import RNNTDecoderConfig, RNNTHeadConfig, RNNTJointConfig
+from gigaam_tpu.decode.ctc_greedy import ctc_extract, ctc_greedy_mask
+from gigaam_tpu.decode.rnnt_greedy import rnnt_extract, rnnt_greedy_decode
+from gigaam_tpu.decode.timestamps import compute_frame_shift, frames_to_words
+from gigaam_tpu.decode.tokenizer import Tokenizer
+from gigaam_tpu.models.heads import (
+    init_rnnt_head,
+    rnnt_joint_step,
+    rnnt_predict_step,
+)
+
+
+def test_ctc_greedy_dedup_and_blank():
+    # V=4, blank=3. Sequence: a a b blank b b -> a b b
+    lp = np.full((1, 6, 4), -10.0, dtype=np.float32)
+    path = [0, 0, 1, 3, 1, 1]
+    for t, k in enumerate(path):
+        lp[0, t, k] = 0.0
+    labels, keep = ctc_greedy_mask(jnp.asarray(lp), jnp.asarray([6]))
+    ids, frames = ctc_extract(np.asarray(labels), np.asarray(keep))[0]
+    assert ids == [0, 1, 1]
+    assert frames == [0, 2, 4]
+
+
+def test_ctc_greedy_respects_length():
+    lp = np.full((1, 5, 3), -10.0, dtype=np.float32)
+    for t in range(5):
+        lp[0, t, 0] = 0.0
+    labels, keep = ctc_greedy_mask(jnp.asarray(lp), jnp.asarray([2]))
+    ids, frames = ctc_extract(np.asarray(labels), np.asarray(keep))[0]
+    assert frames == [0]  # dedup: single run; only frames < length survive
+    assert ids == [0]
+
+
+def _oracle_rnnt_decode(params, encoded, enc_len, max_symbols=10):
+    """Host-side oracle of the reference label loop
+    (``gigaam/decoding.py:128-207``): frame-synchronized, per-sample state."""
+    b, t_max, _ = encoded.shape
+    n_layers = len(params["decoder"]["lstm"])
+    hidden = params["decoder"]["embed"].shape[1]
+    blank = params["decoder"]["embed"].shape[0] - 1
+
+    hyps = [[] for _ in range(b)]
+    frames = [[] for _ in range(b)]
+    label = [blank] * b
+    h = [np.zeros((n_layers, 1, hidden), np.float32) for _ in range(b)]
+    c = [np.zeros((n_layers, 1, hidden), np.float32) for _ in range(b)]
+
+    for t in range(t_max):
+        for bi in range(b):
+            if t >= enc_len[bi]:
+                continue
+            for _ in range(max_symbols):
+                pred, h_new, c_new = rnnt_predict_step(
+                    params, jnp.asarray([label[bi]]),
+                    jnp.asarray(h[bi]), jnp.asarray(c[bi]))
+                logp = rnnt_joint_step(
+                    params, jnp.asarray(encoded[bi: bi + 1, t]), pred)
+                k = int(jnp.argmax(logp[0]))
+                if k == blank:
+                    break
+                hyps[bi].append(k)
+                frames[bi].append(t)
+                label[bi] = k
+                h[bi] = np.asarray(h_new)
+                c[bi] = np.asarray(c_new)
+    return hyps, frames
+
+
+def test_rnnt_greedy_matches_oracle():
+    v, hdim, d = 8, 12, 16
+    cfg = RNNTHeadConfig(
+        decoder=RNNTDecoderConfig(pred_hidden=hdim, pred_rnn_layers=1,
+                                  num_classes=v),
+        joint=RNNTJointConfig(enc_hidden=d, pred_hidden=hdim,
+                              joint_hidden=hdim, num_classes=v))
+    params = init_rnnt_head(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    encoded = rng.standard_normal((3, 11, d)).astype(np.float32) * 2.0
+    enc_len = np.array([11, 7, 3], dtype=np.int32)
+
+    tokens, frames, counts = rnnt_greedy_decode(
+        params, jnp.asarray(encoded), jnp.asarray(enc_len))
+    got = rnnt_extract(np.asarray(tokens), np.asarray(frames),
+                       np.asarray(counts))
+
+    exp_hyps, exp_frames = _oracle_rnnt_decode(params, encoded, enc_len)
+    for bi in range(3):
+        assert got[bi][0] == exp_hyps[bi], f"sample {bi} tokens differ"
+        assert got[bi][1] == exp_frames[bi], f"sample {bi} frames differ"
+
+
+def test_rnnt_greedy_max_symbols_cap():
+    """With max_symbols=1 at most one token may be emitted per frame."""
+    v, hdim, d = 6, 8, 8
+    cfg = RNNTHeadConfig(
+        decoder=RNNTDecoderConfig(pred_hidden=hdim, pred_rnn_layers=1,
+                                  num_classes=v),
+        joint=RNNTJointConfig(enc_hidden=d, pred_hidden=hdim,
+                              joint_hidden=hdim, num_classes=v))
+    params = init_rnnt_head(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    encoded = rng.standard_normal((2, 9, d)).astype(np.float32) * 3.0
+    enc_len = np.array([9, 9], dtype=np.int32)
+
+    tokens, frames, counts = rnnt_greedy_decode(
+        params, jnp.asarray(encoded), jnp.asarray(enc_len), max_symbols=1)
+    for bi in range(2):
+        fr = np.asarray(frames)[bi, : int(counts[bi])]
+        assert len(fr) == len(set(fr.tolist()))  # one emission per frame
+
+    exp_hyps, exp_frames = _oracle_rnnt_decode(params, np.asarray(encoded),
+                                               enc_len, max_symbols=1)
+    got = rnnt_extract(np.asarray(tokens), np.asarray(frames),
+                       np.asarray(counts))
+    for bi in range(2):
+        assert got[bi][0] == exp_hyps[bi]
+
+
+def test_charwise_tokenizer():
+    vocab = [" ", "а", "б", "в"]
+    tok = Tokenizer(vocab)
+    assert len(tok) == 4
+    assert tok.decode([1, 2, 0, 3]) == "аб в"
+    assert tok.encode("аб в") == [1, 2, 0, 3]
+    assert tok.id_to_str(2) == "б"
+
+
+def test_frames_to_words_charwise():
+    vocab = [" ", "п", "р", "и", "в", "е", "т", "м"]
+    tok = Tokenizer(vocab)
+    # "привет мир"-style: two words split by the space token
+    ids = [1, 2, 3, 4, 5, 6, 0, 7, 3, 2]
+    frames = [0, 1, 2, 3, 4, 5, 6, 8, 9, 10]
+    shift = compute_frame_shift(16000, 12)  # 1 s / 12 frames
+    words = frames_to_words(tok, ids, frames, shift)
+    assert [w.text for w in words] == ["привет", "мир"]
+    assert words[0].start == 0.0
+    np.testing.assert_allclose(words[0].end, 6 * shift, atol=1e-9)
+    np.testing.assert_allclose(words[1].start, 8 * shift, atol=1e-9)
+    np.testing.assert_allclose(words[1].end, 11 * shift, atol=1e-9)

@@ -1,0 +1,178 @@
+"""End-to-end model API tests on random weights + synthetic audio:
+transcribe (CTC & RNNT), embed_audio, get_probs, longform, save/load
+round-trip.  Mirrors the reference test surface (``tests/test_loading.py``,
+``tests/test_longform.py``) without needing checkpoint downloads."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import gigaam_tpu
+from gigaam_tpu.audio import save_wav
+from gigaam_tpu.config import (
+    CTCHeadConfig,
+    DecodingConfig,
+    EncoderConfig,
+    FeaturesConfig,
+    ModelConfig,
+    RNNTDecoderConfig,
+    RNNTHeadConfig,
+    RNNTJointConfig,
+    RU_VOCAB,
+    EmoHeadConfig,
+)
+from gigaam_tpu.models.model import GigaAM, GigaAMASR, GigaAMEmo, save_model
+from gigaam_tpu.types import TranscriptionResult
+
+
+def tiny_encoder():
+    return EncoderConfig(feat_in=64, n_layers=2, d_model=64, n_heads=4,
+                         ff_expansion_factor=2, conv_kernel_size=7,
+                         pos_emb_max_len=256)
+
+
+def tiny_ctc_cfg():
+    v = len(RU_VOCAB)
+    return ModelConfig(
+        model_name="tiny_ctc", model_class="asr",
+        preprocessor=FeaturesConfig(),
+        encoder=tiny_encoder(),
+        head=CTCHeadConfig(feat_in=64, num_classes=v + 1),
+        decoding=DecodingConfig(kind="ctc_greedy", vocabulary=list(RU_VOCAB)))
+
+
+def tiny_rnnt_cfg():
+    v = len(RU_VOCAB)
+    return ModelConfig(
+        model_name="tiny_rnnt", model_class="asr",
+        preprocessor=FeaturesConfig(),
+        encoder=tiny_encoder(),
+        head=RNNTHeadConfig(
+            decoder=RNNTDecoderConfig(pred_hidden=32, pred_rnn_layers=1,
+                                      num_classes=v + 1),
+            joint=RNNTJointConfig(enc_hidden=64, pred_hidden=32,
+                                  joint_hidden=32, num_classes=v + 1)),
+        decoding=DecodingConfig(kind="rnnt_greedy", vocabulary=list(RU_VOCAB)))
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    t = np.arange(16000 * 2) / 16000.0
+    wav = (0.3 * np.sin(2 * np.pi * 440 * t)
+           + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    path = str(tmp_path_factory.mktemp("audio") / "tone.wav")
+    save_wav(path, wav)
+    return path
+
+
+@pytest.fixture(scope="module")
+def long_wav_file(tmp_path_factory):
+    rng = np.random.default_rng(1)
+    sr = 16000
+    pieces = []
+    for _ in range(4):
+        t = np.arange(sr * 8) / sr
+        pieces.append(0.3 * np.sin(2 * np.pi * 330 * t).astype(np.float32)
+                      + 0.02 * rng.standard_normal(sr * 8).astype(np.float32))
+        pieces.append(np.zeros(sr, dtype=np.float32))  # 1 s silence
+    wav = np.concatenate(pieces)
+    path = str(tmp_path_factory.mktemp("audio") / "long.wav")
+    save_wav(path, wav)
+    return path
+
+
+def test_ctc_transcribe(wav_file):
+    model = GigaAMASR(tiny_ctc_cfg(), seed=0)
+    res = model.transcribe(wav_file)
+    assert isinstance(res, TranscriptionResult)
+    assert isinstance(res.text, str)
+    # determinism
+    assert model.transcribe(wav_file).text == res.text
+
+
+def test_ctc_transcribe_with_timestamps(wav_file):
+    model = GigaAMASR(tiny_ctc_cfg(), seed=3)
+    res = model.transcribe(wav_file, word_timestamps=True)
+    assert res.words is not None
+    for w in res.words:
+        assert 0.0 <= w.start < w.end <= 2.5
+
+
+def test_rnnt_transcribe(wav_file):
+    model = GigaAMASR(tiny_rnnt_cfg(), seed=1)
+    res = model.transcribe(wav_file, word_timestamps=True)
+    assert isinstance(res.text, str)
+    for w in res.words or []:
+        assert 0.0 <= w.start < w.end
+
+
+def test_transcribe_rejects_longform(long_wav_file):
+    model = GigaAMASR(tiny_ctc_cfg(), seed=0)
+    with pytest.raises(ValueError, match="longform"):
+        model.transcribe(long_wav_file)
+
+
+def test_longform(long_wav_file):
+    model = GigaAMASR(tiny_ctc_cfg(), seed=0)
+    res = model.transcribe_longform(long_wav_file, word_timestamps=True)
+    assert len(res) >= 1
+    total = 36.0
+    for seg in res:
+        assert 0.0 <= seg.start < seg.end <= total + 0.1
+        assert 0.2 - 1e-6 <= seg.end - seg.start <= 30.0 + 1e-6
+        for w in seg.words or []:
+            assert seg.start - 0.1 <= w.start <= w.end <= seg.end + 0.1
+    # deterministic across runs (reference ``tests/test_longform.py:182-205``)
+    res2 = model.transcribe_longform(long_wav_file)
+    assert res2.text == res.text
+
+
+def test_ssl_embed(wav_file):
+    cfg = ModelConfig(model_name="tiny_ssl", model_class="ssl",
+                      preprocessor=FeaturesConfig(), encoder=tiny_encoder())
+    model = GigaAM(cfg, seed=0)
+    encoded, enc_len = model.embed_audio(wav_file)
+    assert encoded.shape[0] == 1 and encoded.shape[2] == 64
+    assert int(enc_len[0]) <= encoded.shape[1]
+    assert np.isfinite(np.asarray(encoded)).all()
+
+
+def test_emo_probs(wav_file):
+    cfg = ModelConfig(
+        model_name="tiny_emo", model_class="emo",
+        preprocessor=FeaturesConfig(), encoder=tiny_encoder(),
+        head=EmoHeadConfig(feat_in=64, num_classes=4),
+        id2name=["angry", "sad", "neutral", "positive"])
+    model = GigaAMEmo(cfg, seed=0)
+    probs = model.get_probs(wav_file)
+    assert set(probs) == {"angry", "sad", "neutral", "positive"}
+    np.testing.assert_allclose(sum(probs.values()), 1.0, atol=1e-5)
+
+
+def test_save_load_roundtrip(tmp_path, wav_file):
+    model = GigaAMASR(tiny_ctc_cfg(), seed=2)
+    path = str(tmp_path / "model")
+    save_model(model, path)
+    loaded = gigaam_tpu.load_model(path)
+    assert isinstance(loaded, GigaAMASR)
+    assert loaded.transcribe(wav_file).text == model.transcribe(wav_file).text
+    # params identical
+    a = model.params["head"]["proj"]["w"]
+    b = loaded.params["head"]["proj"]["w"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_model_random_init(wav_file):
+    model = gigaam_tpu.load_model("v3_ctc", init="random")
+    assert isinstance(model, GigaAMASR)
+    assert model.cfg.encoder.self_attention_model == "rotary"
+    assert model.cfg.preprocessor.center is False  # v3 preprocessing
+
+    with pytest.raises(FileNotFoundError):
+        gigaam_tpu.load_model("v2_ctc")
+    with pytest.raises(ValueError):
+        gigaam_tpu.load_model("not_a_model", init="random")
