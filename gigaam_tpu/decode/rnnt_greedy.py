@@ -49,13 +49,17 @@ def rnnt_greedy_decode(
     n_layers = len(params["decoder"]["lstm"])
     hidden = params["decoder"]["embed"].shape[1]
     u_cap = max_tokens if max_tokens > 0 else t_max * max_symbols
+    # LSTM state must live in the predictor's param dtype: the cell returns
+    # params-dtype outputs, and a while_loop carry may not change dtype
+    # (encoded is often bf16 on TPU while the predictor runs fp32).
+    state_dtype = params["decoder"]["embed"].dtype
 
     init = dict(
         t=jnp.zeros((b,), jnp.int32),
         sym=jnp.zeros((b,), jnp.int32),
         label=jnp.full((b,), blank, jnp.int32),
-        h=jnp.zeros((n_layers, b, hidden), encoded.dtype),
-        c=jnp.zeros((n_layers, b, hidden), encoded.dtype),
+        h=jnp.zeros((n_layers, b, hidden), state_dtype),
+        c=jnp.zeros((n_layers, b, hidden), state_dtype),
         tokens=jnp.zeros((b, u_cap), jnp.int32),
         frames=jnp.zeros((b, u_cap), jnp.int32),
         count=jnp.zeros((b,), jnp.int32),

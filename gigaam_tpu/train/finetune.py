@@ -1,0 +1,277 @@
+"""CTC / RNNT fine-tuning: functional train state + pjit train step.
+
+Re-architecture of the reference Lightning module
+(``train_utils/module.py:16-271``) as a pure-JAX training loop:
+
+* one jitted ``train_step`` over an optional ("data", "model") mesh —
+  gradient reduction is XLA's psum over ICI, replacing Lightning DDP/NCCL;
+* AdamW + linear-warmup/cosine schedule per optimizer step
+  (``module.py:252-271``) via optax;
+* SpecAugment on features (``module.py:48-55,123-127``);
+* BatchNorm running stats are buffers: excluded from AdamW (masked optax)
+  and overwritten from the forward pass's batch statistics each step;
+* the frontend is parameter-free and always fp32 — the reference freezes
+  its preprocessor and disables autocast around it (``module.py:74-75,
+  119-122``); here that invariant holds by construction;
+* encoder freeze (``module.py:76-78``) masks encoder updates and runs BN
+  in eval mode;
+* no RNNT sub-batching machinery needed: the chunked wavefront RNNT loss
+  (``ops/rnnt_loss.py``) already bounds memory, replacing the reference's
+  int32-overflow-guarded host loop (``module.py:146-176``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import CTCHeadConfig, ModelConfig, RNNTHeadConfig
+from ..decode.ctc_greedy import ctc_extract, ctc_greedy_mask
+from ..decode.rnnt_greedy import rnnt_extract, rnnt_greedy_decode
+from ..frontend import LogMelFrontend
+from ..metrics import wer_counts
+from ..models import heads as heads_lib
+from ..models.encoder import PosTables, conformer_forward
+from ..models.model import GigaAMASR
+from ..ops.ctc_loss import ctc_loss
+from ..ops.rnnt_loss import rnnt_loss
+from ..ops.spec_augment import spec_augment
+from ..parallel.mesh import batch_pspec, params_pspecs, shard_params, to_named
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    warmup_ratio: float = 0.1
+    total_steps: int = 1000
+    grad_clip: float = 1.0
+    freeze_encoder: bool = False
+    spec_augment: bool = False
+    freq_masks: int = 2
+    freq_width: int = 27
+    time_masks: int = 2
+    time_width: int = 20
+    precision: str = "bf16"          # "bf16" | "fp32"
+    rnnt_time_chunk: int = 64
+    activation_checkpointing: bool = False
+
+
+def _is_bn_buffer(path: Tuple[Any, ...]) -> bool:
+    keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+    return "batch_norm" in keys and keys[-1] in ("mean", "var")
+
+
+def _label_params(params: Dict[str, Any], freeze_encoder: bool):
+    """'train' vs 'frozen' labels for optax.multi_transform."""
+    def label(path, _):
+        if _is_bn_buffer(path):
+            return "frozen"
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if freeze_encoder and keys and keys[0] == "encoder":
+            return "frozen"
+        return "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(tc: TrainConfig):
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=tc.lr,
+        warmup_steps=max(1, int(tc.warmup_ratio * tc.total_steps)),
+        decay_steps=tc.total_steps, end_value=0.0)
+    adamw = optax.chain(
+        optax.clip_by_global_norm(tc.grad_clip),
+        optax.adamw(schedule, weight_decay=tc.weight_decay),
+    )
+    return adamw, schedule
+
+
+class FineTuner:
+    """Training driver around a GigaAMASR model."""
+
+    def __init__(
+        self,
+        model: GigaAMASR,
+        tc: TrainConfig,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.model = model
+        self.cfg: ModelConfig = model.cfg
+        self.tc = tc
+        self.mesh = mesh
+        self.frontend = LogMelFrontend(self.cfg.preprocessor)
+        self.pos_tables = PosTables(self.cfg.encoder)
+        self.blank_id = model.blank_id
+        self.mode = "ctc" if isinstance(self.cfg.head, CTCHeadConfig) else "rnnt"
+        if self.mode == "rnnt":
+            assert isinstance(self.cfg.head, RNNTHeadConfig)
+
+        enc_cfg = dataclasses.replace(
+            self.cfg.encoder,
+            activation_checkpointing=tc.activation_checkpointing)
+        self.enc_cfg = enc_cfg
+
+        self.optimizer, self.schedule = self._build_optimizer(model.params, tc)
+        params = model.params
+        if mesh is not None:
+            self.pspecs = params_pspecs(
+                params, enc_cfg.self_attention_model, enc_cfg.conv_norm_type)
+            params = shard_params(params, mesh, self.pspecs)
+        self.params = params
+        self.opt_state = self.optimizer.init(params)
+        self.step = 0
+        self._train_step_jit = self._build_train_step()
+        self._eval_loss_jit = jax.jit(self._loss_eval)
+
+    def _build_optimizer(self, params, tc: TrainConfig):
+        adamw, schedule = make_optimizer(tc)
+        labels = _label_params(params, tc.freeze_encoder)
+        opt = optax.multi_transform(
+            {"train": adamw, "frozen": optax.set_to_zero()}, labels)
+        return opt, schedule
+
+    # ------------------------------------------------------------------
+    # forward / loss
+    # ------------------------------------------------------------------
+
+    def _forward_loss(self, params, batch, rng, train: bool):
+        wavs, wav_lens, tokens, tok_lens = batch
+        compute_dtype = (jnp.bfloat16 if self.tc.precision == "bf16"
+                         else jnp.float32)
+        feats, feat_lens = self.frontend.forward(wavs, wav_lens)  # [B, F, T]
+        if train and self.tc.spec_augment:
+            feats = spec_augment(
+                rng, feats,
+                self.tc.freq_masks, self.tc.freq_width,
+                self.tc.time_masks, self.tc.time_width)
+        feats = jnp.transpose(feats, (0, 2, 1))
+        t_feat = feats.shape[1]
+        t_sub = self._static_t_sub(t_feat)
+        pos = self._pos(t_sub)
+        bn_train = train and not self.tc.freeze_encoder
+        encoded, enc_lens, bn_stats = conformer_forward(
+            params["encoder"], feats, feat_lens, self.enc_cfg, pos,
+            compute_dtype=compute_dtype, train=bn_train)
+
+        if self.mode == "ctc":
+            log_probs = heads_lib.ctc_log_probs(params["head"], encoded)
+            loss = ctc_loss(log_probs, enc_lens, tokens, tok_lens,
+                            self.blank_id)
+        else:
+            u1 = tokens.shape[1] + 1
+            loss = rnnt_loss(
+                params["head"], encoded.astype(jnp.float32), tokens,
+                jnp.clip(enc_lens, 1, encoded.shape[1]),
+                jnp.clip(tok_lens, 1, u1 - 1),
+                blank_id=self.blank_id,
+                time_chunk=self.tc.rnnt_time_chunk)
+        return loss, (bn_stats, encoded, enc_lens)
+
+    def _loss_eval(self, params, batch):
+        loss, (_, encoded, enc_lens) = self._forward_loss(
+            params, batch, jax.random.PRNGKey(0), train=False)
+        return loss, encoded, enc_lens
+
+    def _static_t_sub(self, t_feat: int) -> int:
+        # pure-Python mirror of ops.conformer_ops.subsampled_length (this
+        # runs inside a jit trace, where jnp constants become tracers)
+        import math
+
+        k = self.enc_cfg.subs_kernel_size
+        add_pad = 2 * ((k - 1) // 2) - k
+        length = float(t_feat)
+        for _ in range(self.enc_cfg.num_subsampling_stages):
+            length = math.floor((length + add_pad) / 2 + 1.0)
+        return int(length)
+
+    def _pos(self, t_sub: int):
+        if self.enc_cfg.self_attention_model == "rotary":
+            return self.pos_tables.rotary(t_sub)
+        return self.pos_tables.relpos(t_sub)
+
+    # ------------------------------------------------------------------
+    # train step
+    # ------------------------------------------------------------------
+
+    def _train_step_impl(self, params, opt_state, batch, rng):
+        def loss_fn(p):
+            loss, aux = self._forward_loss(p, batch, rng, train=True)
+            return loss, aux
+
+        (loss, (bn_stats, _, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if bn_stats is not None:
+            bn = params["encoder"]["layers"]["conv"]["batch_norm"]
+            bn = dict(bn, mean=bn_stats["mean"], var=bn_stats["var"])
+            params["encoder"]["layers"]["conv"]["batch_norm"] = bn
+        grad_norm = optax.global_norm(grads)
+        return params, opt_state, loss, grad_norm
+
+    def _build_train_step(self):
+        if self.mesh is None:
+            return jax.jit(self._train_step_impl)
+        param_sh = to_named(self.mesh, self.pspecs)
+        batch_sh = NamedSharding(self.mesh, batch_pspec())
+        repl = NamedSharding(self.mesh, P())
+        return jax.jit(
+            self._train_step_impl,
+            in_shardings=(param_sh, None, (batch_sh,) * 4, repl),
+            out_shardings=(param_sh, None, repl, repl),
+        )
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def train_step(self, batch, rng) -> Dict[str, float]:
+        batch = tuple(jnp.asarray(x) for x in batch)
+        self.params, self.opt_state, loss, grad_norm = self._train_step_jit(
+            self.params, self.opt_state, batch, rng)
+        self.step += 1
+        return {
+            "loss": float(loss),
+            "grad_norm": float(grad_norm),
+            "lr": float(self.schedule(self.step)),
+        }
+
+    def eval_step(self, batch) -> Tuple[float, List[str]]:
+        """Returns (loss, hypotheses) for a batch."""
+        batch = tuple(jnp.asarray(x) for x in batch)
+        loss, encoded, enc_lens = self._eval_loss_jit(self.params, batch)
+        hyps = self.decode(encoded, enc_lens)
+        return float(loss), hyps
+
+    def decode(self, encoded, enc_lens) -> List[str]:
+        tok = self.model.tokenizer
+        if self.mode == "ctc":
+            log_probs = heads_lib.ctc_log_probs(self.params["head"], encoded)
+            labels, keep = ctc_greedy_mask(log_probs, enc_lens)
+            decoded = ctc_extract(np.asarray(labels), np.asarray(keep))
+        else:
+            tokens, frames, counts = rnnt_greedy_decode(
+                self.params["head"], encoded, enc_lens)
+            decoded = rnnt_extract(np.asarray(tokens), np.asarray(frames),
+                                   np.asarray(counts))
+        return [tok.decode(ids) for ids, _ in decoded]
+
+    def batch_wer(self, hyps: List[str], tokens, tok_lens) -> Tuple[int, int]:
+        tok = self.model.tokenizer
+        refs = [
+            tok.decode(np.asarray(tokens[i, : int(tok_lens[i])]).tolist())
+            for i in range(len(hyps))
+        ]
+        return wer_counts(hyps, refs)
+
+    def sync_model(self) -> None:
+        """Write trained params back into the wrapped model."""
+        self.model.params = self.params

@@ -1,0 +1,161 @@
+"""Training loop tests: loss decreases (CTC & RNNT overfit), BN buffers
+update, encoder freeze, and a sharded DPxTP step on the 8-device CPU mesh
+matching single-device numerics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gigaam_tpu.config import (
+    CTCHeadConfig,
+    DecodingConfig,
+    EncoderConfig,
+    FeaturesConfig,
+    ModelConfig,
+    RNNTDecoderConfig,
+    RNNTHeadConfig,
+    RNNTJointConfig,
+)
+from gigaam_tpu.models.model import GigaAMASR
+from gigaam_tpu.parallel.mesh import make_mesh
+from gigaam_tpu.train.finetune import FineTuner, TrainConfig
+
+VOCAB = [" ", "а", "б", "в", "г", "д"]
+
+
+def tiny_cfg(kind="ctc"):
+    enc = EncoderConfig(feat_in=64, n_layers=2, d_model=32, n_heads=4,
+                        ff_expansion_factor=2, conv_kernel_size=7,
+                        pos_emb_max_len=128)
+    v = len(VOCAB) + 1
+    if kind == "ctc":
+        head = CTCHeadConfig(feat_in=32, num_classes=v)
+        dec = DecodingConfig(kind="ctc_greedy", vocabulary=list(VOCAB))
+    else:
+        head = RNNTHeadConfig(
+            decoder=RNNTDecoderConfig(pred_hidden=16, pred_rnn_layers=1,
+                                      num_classes=v),
+            joint=RNNTJointConfig(enc_hidden=32, pred_hidden=16,
+                                  joint_hidden=16, num_classes=v))
+        dec = DecodingConfig(kind="rnnt_greedy", vocabulary=list(VOCAB))
+    return ModelConfig(model_name=f"tiny_{kind}", model_class="asr",
+                       preprocessor=FeaturesConfig(), encoder=enc,
+                       head=head, decoding=dec)
+
+
+def synth_batch(b=2, seconds=1.0, u=4, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(16000 * seconds)
+    wavs = (0.1 * rng.standard_normal((b, n))).astype(np.float32)
+    wav_lens = np.full((b,), n, dtype=np.int32)
+    tokens = rng.integers(1, len(VOCAB), (b, u)).astype(np.int32)
+    tok_lens = np.full((b,), u, dtype=np.int32)
+    return wavs, wav_lens, tokens, tok_lens
+
+
+@pytest.mark.parametrize("kind", ["ctc", "rnnt"])
+def test_overfit_tiny_batch(kind):
+    model = GigaAMASR(tiny_cfg(kind), seed=0, compute_dtype=jnp.float32)
+    tc = TrainConfig(lr=3e-3, total_steps=30, precision="fp32",
+                     spec_augment=False)
+    ft = FineTuner(model, tc)
+    batch = synth_batch()
+    losses = []
+    for i in range(30):
+        m = ft.train_step(batch, jax.random.PRNGKey(i))
+        losses.append(m["loss"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, f"no overfit: {losses[0]} -> {losses[-1]}"
+
+
+def test_bn_buffers_update_and_freeze():
+    model = GigaAMASR(tiny_cfg("ctc"), seed=1, compute_dtype=jnp.float32)
+    tc = TrainConfig(lr=1e-3, total_steps=10, precision="fp32")
+    ft = FineTuner(model, tc)
+    bn0 = np.asarray(
+        ft.params["encoder"]["layers"]["conv"]["batch_norm"]["mean"]).copy()
+    ft.train_step(synth_batch(), jax.random.PRNGKey(0))
+    bn1 = np.asarray(
+        ft.params["encoder"]["layers"]["conv"]["batch_norm"]["mean"])
+    assert not np.allclose(bn0, bn1), "BN running mean did not update"
+
+    # frozen encoder: weights unchanged, head changes
+    model2 = GigaAMASR(tiny_cfg("ctc"), seed=1, compute_dtype=jnp.float32)
+    ft2 = FineTuner(model2, TrainConfig(lr=1e-3, total_steps=10,
+                                        precision="fp32",
+                                        freeze_encoder=True))
+    enc0 = np.asarray(
+        ft2.params["encoder"]["layers"]["feed_forward1"]["linear1"]["w"]).copy()
+    head0 = np.asarray(ft2.params["head"]["proj"]["w"]).copy()
+    bn_frozen0 = np.asarray(
+        ft2.params["encoder"]["layers"]["conv"]["batch_norm"]["mean"]).copy()
+    # two steps: step 0 sits at lr=0 on the warmup ramp
+    ft2.train_step(synth_batch(), jax.random.PRNGKey(0))
+    ft2.train_step(synth_batch(), jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(
+        enc0,
+        np.asarray(
+            ft2.params["encoder"]["layers"]["feed_forward1"]["linear1"]["w"]))
+    np.testing.assert_array_equal(
+        bn_frozen0,
+        np.asarray(
+            ft2.params["encoder"]["layers"]["conv"]["batch_norm"]["mean"]))
+    assert not np.allclose(
+        head0, np.asarray(ft2.params["head"]["proj"]["w"]))
+
+
+def test_spec_augment_changes_loss_not_eval():
+    model = GigaAMASR(tiny_cfg("ctc"), seed=2, compute_dtype=jnp.float32)
+    tc = TrainConfig(lr=0.0, total_steps=10, precision="fp32",
+                     spec_augment=True, freq_masks=2, freq_width=20,
+                     time_masks=2, time_width=20)
+    ft = FineTuner(model, tc)
+    batch = synth_batch(seed=3)
+    m1 = ft.train_step(batch, jax.random.PRNGKey(1))
+    m2 = ft.train_step(batch, jax.random.PRNGKey(2))
+    # different masks -> different losses (lr=0 so params static)
+    assert m1["loss"] != m2["loss"]
+    # eval path has no augmentation: deterministic
+    l1, _ = ft.eval_step(batch)
+    l2, _ = ft.eval_step(batch)
+    assert l1 == l2
+
+
+def test_sharded_train_step_matches_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=4, model=2)
+
+    model_a = GigaAMASR(tiny_cfg("ctc"), seed=4, compute_dtype=jnp.float32)
+    model_b = GigaAMASR(tiny_cfg("ctc"), seed=4, compute_dtype=jnp.float32)
+    tc = TrainConfig(lr=1e-3, total_steps=10, precision="fp32")
+
+    ft_single = FineTuner(model_a, tc)
+    ft_sharded = FineTuner(model_b, tc, mesh=mesh)
+
+    batch = synth_batch(b=4, seed=5)
+    m_s = ft_single.train_step(batch, jax.random.PRNGKey(0))
+    m_m = ft_sharded.train_step(batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(m_s["loss"], m_m["loss"], rtol=1e-4)
+
+    w_s = np.asarray(
+        ft_single.params["encoder"]["layers"]["feed_forward1"]["linear1"]["w"])
+    w_m = np.asarray(
+        ft_sharded.params["encoder"]["layers"]["feed_forward1"]["linear1"]["w"])
+    np.testing.assert_allclose(w_s, w_m, atol=2e-5)
+
+    # second step keeps running (collectives in the loop work repeatedly)
+    m_m2 = ft_sharded.train_step(batch, jax.random.PRNGKey(1))
+    assert np.isfinite(m_m2["loss"])
+
+
+def test_eval_wer_helpers():
+    model = GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+    ft = FineTuner(model, TrainConfig(total_steps=10, precision="fp32"))
+    batch = synth_batch()
+    loss, hyps = ft.eval_step(batch)
+    assert len(hyps) == 2 and all(isinstance(h, str) for h in hyps)
+    errs, words = ft.batch_wer(hyps, batch[2], batch[3])
+    assert errs >= 0 and words >= 2
