@@ -1,0 +1,73 @@
+"""Benchmark: v3_ctc encode+decode throughput on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric = audio-seconds processed per wall-second per chip (RTF)
+for the flagship v3_ctc pipeline (log-mel -> 16x Conformer(768) -> CTC head
+-> greedy mask), batch 8 x 20 s, bf16, steady state.
+
+Baseline anchor: the reference's best CUDA serving number — 65 s of audio in
+0.036 s (v3_ctc, torch bs=4, ``triton_scripts/README.md:71-83``;
+BASELINE.md "Implied RTF anchor") ~= 1806x realtime.  vs_baseline = ours /
+1806.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/gigaam_tpu/jax_cache"))
+
+import numpy as np
+
+BASELINE_RTF = 65.0 / 0.036  # ~1806x, reference CUDA serving anchor
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gigaam_tpu import load_model
+    from gigaam_tpu.models.model import pad_wav_batch
+
+    batch_size = 8
+    seconds = 20
+    model = load_model("v3_ctc", init="random")
+
+    rng = np.random.default_rng(0)
+    wavs = [
+        (0.1 * rng.standard_normal(16000 * seconds)).astype(np.float32)
+        for _ in range(batch_size)
+    ]
+    batch, lens = pad_wav_batch(wavs)
+    batch = jnp.asarray(batch)
+    lens = jnp.asarray(lens)
+    pos = model._pos_for(batch.shape[1])
+
+    def run_once():
+        labels, keep, enc_lens = model._asr_fwd(model.params, batch, lens, pos)
+        jax.block_until_ready((labels, keep, enc_lens))
+
+    run_once()  # compile
+    run_once()  # warm
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        run_once()
+    dt = (time.perf_counter() - t0) / n_iter
+
+    audio_seconds = batch_size * seconds
+    rtf = audio_seconds / dt
+    print(json.dumps({
+        "metric": "v3_ctc_encode_decode_rtf",
+        "value": round(rtf, 1),
+        "unit": "audio-seconds/s/chip",
+        "vs_baseline": round(rtf / BASELINE_RTF, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
