@@ -1,0 +1,406 @@
+"""Reference-checkpoint ingestion: torch ``.ckpt`` -> native config + params.
+
+The reference stores ``{"cfg": OmegaConf DictConfig, "state_dict": ...}``
+(``gigaam/__init__.py:167,185``) and hydra-instantiates modules from the
+embedded cfg.  This module:
+
+* unpickles those checkpoints **without** omegaconf/hydra installed (stub
+  classes capture the pickled state; ``_content`` trees are unwrapped),
+* maps every torch parameter layout onto ours (see the table below),
+* translates the OmegaConf cfg into our typed ``ModelConfig``.
+
+Layout mapping (torch -> ours):
+  Linear            w [out, in]        -> [in, out] (transpose)
+  Conv1d (subsamp)  w [Cout, Cin, K]   -> [K, Cin, Cout]
+  Conv2d (subsamp)  w [Cout, Cin, Kh, Kw] -> [Kh, Kw, Cin, Cout]
+  pointwise Conv1d  w [Cout, Cin, 1]   -> [Cin, Cout]
+  depthwise Conv1d  w [C, 1, K]        -> [K, 1, C]
+  LSTM              weight_ih/hh [4H, in] -> [in, 4H]; b = b_ih + b_hh
+  BatchNorm         weight/bias/running_mean/running_var ->
+                    scale/bias/mean/var
+Per-layer encoder params are stacked along a leading layer axis
+(``models/encoder.py``).  torch is only needed at conversion time, never at
+inference/training time.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import sys
+import types
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import (
+    CTCHeadConfig,
+    DecodingConfig,
+    EmoHeadConfig,
+    EncoderConfig,
+    FeaturesConfig,
+    ModelConfig,
+    RNNTDecoderConfig,
+    RNNTHeadConfig,
+    RNNTJointConfig,
+)
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint loading without omegaconf/hydra
+# ---------------------------------------------------------------------------
+
+class _StubObject:
+    """Catch-all unpickle target: records ctor args and state."""
+
+    def __init__(self, *args, **kwargs):
+        self._args = args
+        self._kwargs = kwargs
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+    def __call__(self, *args, **kwargs):  # some reduces call the object
+        return self
+
+
+def _install_stub_modules() -> List[str]:
+    """Register stub modules for pickle targets absent at runtime."""
+    created = []
+    for name in [
+        "omegaconf", "omegaconf.dictconfig", "omegaconf.listconfig",
+        "omegaconf.base", "omegaconf.nodes",
+    ]:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__getattr__ = lambda attr, _m=name: _StubObject  # type: ignore
+            sys.modules[name] = mod
+            created.append(name)
+    return created
+
+
+def _unwrap(node: Any) -> Any:
+    """Recursively unwrap stubbed OmegaConf containers to plain dict/list."""
+    if isinstance(node, _StubObject):
+        d = node.__dict__
+        content = d.get("_content", d.get("_state"))
+        if content is None and "_args" in d and d["_args"]:
+            content = d["_args"][0]
+        return _unwrap(content)
+    if isinstance(node, dict):
+        return {k: _unwrap(v) for k, v in node.items()
+                if not str(k).startswith("_")}
+    if isinstance(node, (list, tuple)):
+        return [_unwrap(v) for v in node]
+    if hasattr(node, "_val"):  # ValueNode
+        return _unwrap(node._val)
+    return node
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """torch.load a reference checkpoint, stubbing omegaconf if missing."""
+    import torch
+
+    created = _install_stub_modules()
+    try:
+        with open(path, "rb") as f:
+            ckpt = torch.load(f, map_location="cpu", weights_only=False)
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
+    return ckpt
+
+
+def state_dict_to_numpy(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().to("cpu").float().numpy()
+        else:
+            out[k] = np.asarray(v, dtype=np.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Config translation
+# ---------------------------------------------------------------------------
+
+def _head_kind(head_cfg: Dict[str, Any]) -> str:
+    target = str(head_cfg.get("_target_", ""))
+    if "CTCHead" in target:
+        return "ctc"
+    if "RNNTHead" in target:
+        return "rnnt"
+    if "decoder" in head_cfg and "joint" in head_cfg:
+        return "rnnt"
+    if "num_classes" in head_cfg and "feat_in" in head_cfg:
+        return "ctc"
+    return "emo"
+
+
+def config_from_reference(cfg: Dict[str, Any], model_name: str) -> ModelConfig:
+    """Translate an unwrapped reference cfg tree into ModelConfig."""
+    pre = cfg.get("preprocessor", {}) or {}
+    sr = int(pre.get("sample_rate", 16000))
+    feats = FeaturesConfig(
+        sample_rate=sr,
+        features=int(pre.get("features", 64)),
+        win_length=int(pre.get("win_length", sr // 40)),
+        hop_length=int(pre.get("hop_length", sr // 100)),
+        n_fft=int(pre.get("n_fft", sr // 40)),
+        center=bool(pre.get("center", True)),
+        dither=float(pre.get("dither", 0.0) or 0.0),
+    )
+    e = cfg.get("encoder", {}) or {}
+    enc = EncoderConfig(
+        feat_in=int(e.get("feat_in", 64)),
+        n_layers=int(e.get("n_layers", 16)),
+        d_model=int(e.get("d_model", 768)),
+        subsampling=str(e.get("subsampling", "conv2d")),
+        subs_kernel_size=int(e.get("subs_kernel_size", 3)),
+        subsampling_factor=int(e.get("subsampling_factor", 4)),
+        ff_expansion_factor=int(e.get("ff_expansion_factor", 4)),
+        self_attention_model=str(e.get("self_attention_model", "rotary")),
+        n_heads=int(e.get("n_heads", 16)),
+        pos_emb_max_len=int(e.get("pos_emb_max_len", 5000)),
+        conv_norm_type=str(e.get("conv_norm_type", "batch_norm")),
+        conv_kernel_size=int(e.get("conv_kernel_size", 31)),
+    )
+
+    head_cfg = cfg.get("head")
+    dec_cfg = cfg.get("decoding")
+    head: Any = None
+    decoding: Optional[DecodingConfig] = None
+    model_class = "ssl"
+
+    if head_cfg:
+        kind = _head_kind(head_cfg)
+        if kind == "ctc":
+            model_class = "asr"
+            head = CTCHeadConfig(
+                feat_in=int(head_cfg.get("feat_in", enc.d_model)),
+                num_classes=int(head_cfg["num_classes"]))
+        elif kind == "rnnt":
+            model_class = "asr"
+            d = head_cfg.get("decoder", {})
+            j = head_cfg.get("joint", {})
+            head = RNNTHeadConfig(
+                decoder=RNNTDecoderConfig(
+                    pred_hidden=int(d.get("pred_hidden", 320)),
+                    pred_rnn_layers=int(d.get("pred_rnn_layers", 1)),
+                    num_classes=int(d["num_classes"])),
+                joint=RNNTJointConfig(
+                    enc_hidden=int(j.get("enc_hidden", enc.d_model)),
+                    pred_hidden=int(j.get("pred_hidden", 320)),
+                    joint_hidden=int(j.get("joint_hidden", 320)),
+                    num_classes=int(j["num_classes"])))
+        else:
+            model_class = "emo"
+            head = EmoHeadConfig(
+                feat_in=int(head_cfg.get("in_features",
+                                         head_cfg.get("feat_in", enc.d_model))),
+                num_classes=int(head_cfg.get("out_features",
+                                             head_cfg.get("num_classes", 4))))
+
+    if dec_cfg:
+        vocab = dec_cfg.get("vocabulary") or []
+        decoding = DecodingConfig(
+            kind=("rnnt_greedy" if isinstance(head, RNNTHeadConfig)
+                  else "ctc_greedy"),
+            vocabulary=[str(v) for v in vocab],
+            model_path=dec_cfg.get("model_path"),
+            max_symbols_per_step=int(
+                dec_cfg.get("max_symbols_per_step", 10)))
+
+    id2name = cfg.get("id2name")
+    if id2name is not None and isinstance(id2name, dict):
+        id2name = [id2name[k] for k in sorted(id2name)]
+
+    return ModelConfig(
+        model_name=model_name, model_class=model_class,
+        preprocessor=feats, encoder=enc, head=head, decoding=decoding,
+        id2name=id2name)
+
+
+# ---------------------------------------------------------------------------
+# State-dict mapping
+# ---------------------------------------------------------------------------
+
+def _convert_subsampling(sd: Dict[str, np.ndarray], enc: EncoderConfig,
+                         prefix: str) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    # reference Sequential interleaves ReLU: conv modules sit at 0, 2, 4...
+    for i in range(enc.num_subsampling_stages):
+        w = sd[f"{prefix}conv.{2 * i}.weight"]
+        b = sd[f"{prefix}conv.{2 * i}.bias"]
+        if enc.subsampling == "conv2d":
+            out[f"conv_{i}"] = {"w": w.transpose(2, 3, 1, 0), "b": b}
+        else:
+            out[f"conv_{i}"] = {"w": w.transpose(2, 1, 0), "b": b}
+    if enc.subsampling == "conv2d":
+        out["out"] = {"w": sd[f"{prefix}out.weight"].T,
+                      "b": sd[f"{prefix}out.bias"]}
+    return out
+
+
+def _linear(sd, name) -> Dict[str, np.ndarray]:
+    p = {"w": sd[f"{name}.weight"].T}
+    if f"{name}.bias" in sd:
+        p["b"] = sd[f"{name}.bias"]
+    return p
+
+
+def _norm(sd, name) -> Dict[str, np.ndarray]:
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _convert_layer(sd: Dict[str, np.ndarray], enc: EncoderConfig,
+                   prefix: str) -> Dict[str, Any]:
+    attn: Dict[str, Any] = {
+        "linear_q": _linear(sd, f"{prefix}self_attn.linear_q"),
+        "linear_k": _linear(sd, f"{prefix}self_attn.linear_k"),
+        "linear_v": _linear(sd, f"{prefix}self_attn.linear_v"),
+        "linear_out": _linear(sd, f"{prefix}self_attn.linear_out"),
+    }
+    if enc.self_attention_model == "rel_pos":
+        attn["linear_pos"] = _linear(sd, f"{prefix}self_attn.linear_pos")
+        attn["pos_bias_u"] = sd[f"{prefix}self_attn.pos_bias_u"]
+        attn["pos_bias_v"] = sd[f"{prefix}self_attn.pos_bias_v"]
+
+    bn_name = f"{prefix}conv.batch_norm"
+    if enc.conv_norm_type == "batch_norm":
+        bn = {"scale": sd[f"{bn_name}.weight"], "bias": sd[f"{bn_name}.bias"],
+              "mean": sd[f"{bn_name}.running_mean"],
+              "var": sd[f"{bn_name}.running_var"]}
+    else:
+        bn = _norm(sd, bn_name)
+
+    conv = {
+        "pointwise_conv1": {
+            "w": sd[f"{prefix}conv.pointwise_conv1.weight"][:, :, 0].T,
+            "b": sd[f"{prefix}conv.pointwise_conv1.bias"]},
+        "depthwise_conv": {
+            "w": sd[f"{prefix}conv.depthwise_conv.weight"].transpose(2, 1, 0),
+            "b": sd[f"{prefix}conv.depthwise_conv.bias"]},
+        "batch_norm": bn,
+        "pointwise_conv2": {
+            "w": sd[f"{prefix}conv.pointwise_conv2.weight"][:, :, 0].T,
+            "b": sd[f"{prefix}conv.pointwise_conv2.bias"]},
+    }
+    return {
+        "norm_feed_forward1": _norm(sd, f"{prefix}norm_feed_forward1"),
+        "feed_forward1": {
+            "linear1": _linear(sd, f"{prefix}feed_forward1.linear1"),
+            "linear2": _linear(sd, f"{prefix}feed_forward1.linear2")},
+        "norm_self_att": _norm(sd, f"{prefix}norm_self_att"),
+        "self_attn": attn,
+        "norm_conv": _norm(sd, f"{prefix}norm_conv"),
+        "conv": conv,
+        "norm_feed_forward2": _norm(sd, f"{prefix}norm_feed_forward2"),
+        "feed_forward2": {
+            "linear1": _linear(sd, f"{prefix}feed_forward2.linear1"),
+            "linear2": _linear(sd, f"{prefix}feed_forward2.linear2")},
+        "norm_out": _norm(sd, f"{prefix}norm_out"),
+    }
+
+
+def convert_encoder(sd: Dict[str, np.ndarray], enc: EncoderConfig,
+                    prefix: str = "encoder.") -> Dict[str, Any]:
+    layers = [
+        _convert_layer(sd, enc, f"{prefix}layers.{i}.")
+        for i in range(enc.n_layers)
+    ]
+    import jax
+
+    return {
+        "pre_encode": _convert_subsampling(sd, enc, f"{prefix}pre_encode."),
+        "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
+    }
+
+
+def convert_head(sd: Dict[str, np.ndarray], head: Any,
+                 prefix: str = "head.") -> Dict[str, Any]:
+    if isinstance(head, CTCHeadConfig):
+        w = sd[f"{prefix}decoder_layers.0.weight"][:, :, 0].T
+        return {"proj": {"w": w, "b": sd[f"{prefix}decoder_layers.0.bias"]}}
+    if isinstance(head, RNNTHeadConfig):
+        layers = []
+        for li in range(head.decoder.pred_rnn_layers):
+            layers.append({
+                "w_ih": sd[f"{prefix}decoder.lstm.weight_ih_l{li}"].T,
+                "w_hh": sd[f"{prefix}decoder.lstm.weight_hh_l{li}"].T,
+                "b": (sd[f"{prefix}decoder.lstm.bias_ih_l{li}"]
+                      + sd[f"{prefix}decoder.lstm.bias_hh_l{li}"]),
+            })
+        return {
+            "decoder": {"embed": sd[f"{prefix}decoder.embed.weight"],
+                        "lstm": layers},
+            "joint": {
+                "enc": _linear(sd, f"{prefix}joint.enc"),
+                "pred": _linear(sd, f"{prefix}joint.pred"),
+                "out": _linear(sd, f"{prefix}joint.joint_net.1"),
+            },
+        }
+    if isinstance(head, EmoHeadConfig):
+        # emo head is a single Linear; accept both bare and nested names
+        for cand in (f"{prefix}weight", f"{prefix}linear.weight",
+                     f"{prefix}0.weight"):
+            if cand in sd:
+                base = cand[: -len("weight")]
+                return {"proj": {"w": sd[f"{base}weight"].T,
+                                 "b": sd[f"{base}bias"]}}
+        raise KeyError(f"emo head weights not found under prefix {prefix!r}")
+    raise ValueError(f"Unknown head config: {type(head)}")
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray],
+                       cfg: ModelConfig) -> Dict[str, Any]:
+    params: Dict[str, Any] = {"encoder": convert_encoder(sd, cfg.encoder)}
+    if cfg.head is not None:
+        params["head"] = convert_head(sd, cfg.head)
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.asarray, params)
+
+
+# ---------------------------------------------------------------------------
+# Top-level entry points
+# ---------------------------------------------------------------------------
+
+def convert_reference_checkpoint(
+    path: str, model_name: Optional[str] = None
+) -> Tuple[ModelConfig, Dict[str, Any]]:
+    """Load + convert a reference ``.ckpt`` (pretrained or fine-tuned)."""
+    ckpt = load_torch_checkpoint(path)
+
+    if "hyper_parameters" in ckpt and "cfg" not in ckpt:
+        # fine-tuned Lightning checkpoint (``gigaam/__init__.py:139-156``):
+        # state_dict carries preprocessor./encoder./head. keys; cfg comes
+        # from the base model name, which the caller must have converted.
+        raise ValueError(
+            "Fine-tuned Lightning checkpoints need the base model's cfg; "
+            "convert the base checkpoint first and use "
+            "apply_finetuned_state_dict().")
+
+    cfg_tree = _unwrap(ckpt["cfg"])
+    if not isinstance(cfg_tree, dict):
+        raise ValueError(f"Could not unwrap checkpoint cfg from {path}")
+    name = model_name or str(cfg_tree.get("model_name", "converted"))
+    cfg = config_from_reference(cfg_tree, name)
+    sd = state_dict_to_numpy(ckpt["state_dict"])
+    params = convert_state_dict(sd, cfg)
+    return cfg, params
+
+
+def apply_finetuned_state_dict(cfg: ModelConfig, path: str) -> Dict[str, Any]:
+    """Convert a fine-tuned Lightning ckpt's state_dict with a known cfg."""
+    ckpt = load_torch_checkpoint(path)
+    sd = state_dict_to_numpy({
+        k: v for k, v in ckpt["state_dict"].items()
+        if k.startswith(("preprocessor.", "encoder.", "head."))
+    })
+    return convert_state_dict(sd, cfg)

@@ -1,0 +1,65 @@
+"""Evaluation CLI (mirror of reference ``train_utils/eval.py``).
+
+Batch-decodes a manifest, writes ``preds.jsonl``, reports dual WER:
+e2e (verbatim) + raw (normalized Cyrillic-only), matching
+``train_utils/utils.py:25-48``.
+
+Usage:
+  python -m gigaam_tpu.train.eval --model_name <preset|artifact|.ckpt> \\
+      --manifest test.tsv [--batch_size 16] [--out preds.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import List, Optional
+
+import numpy as np
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    p = argparse.ArgumentParser(description="GigaAM-TPU evaluation")
+    p.add_argument("--model_name", required=True)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--out", default="preds.jsonl")
+    p.add_argument("--max_duration", type=float, default=None)
+    args = p.parse_args(argv)
+
+    import gigaam_tpu
+    from gigaam_tpu.data import AudioDataset
+    from gigaam_tpu.metrics import compute_wer
+    from gigaam_tpu.models.model import GigaAMASR
+
+    model = gigaam_tpu.load_model(args.model_name)
+    assert isinstance(model, GigaAMASR), "ASR model required"
+
+    ds = AudioDataset(args.manifest, tokenizer=model.tokenizer,
+                      max_duration=args.max_duration, return_tokens=False)
+
+    hyps: List[str] = []
+    refs: List[str] = []
+    idx = 0
+    for wavs_pad, lens in ds.batches(args.batch_size, sort_by_duration=False):
+        wav_list = [wavs_pad[i, : lens[i]] for i in range(len(lens))]
+        for text, _ in model._decode_batch(wav_list, word_timestamps=False):
+            hyps.append(text)
+            refs.append(ds.samples[idx].text or "")
+            idx += 1
+
+    with open(args.out, "w") as f:
+        for i, (h, r) in enumerate(zip(hyps, refs)):
+            f.write(json.dumps(
+                {"id": i, "prediction": h, "reference": r},
+                ensure_ascii=False) + "\n")
+
+    wer_e2e, wer_raw = compute_wer(hyps, refs)
+    print(f"samples: {len(hyps)}")
+    print(f"WER (e2e):  {100 * wer_e2e:.2f}%")
+    print(f"WER (raw):  {100 * wer_raw:.2f}%")
+    print(f"predictions written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,7 @@ class TrainConfig:
     precision: str = "bf16"          # "bf16" | "fp32"
     rnnt_time_chunk: int = 64
     activation_checkpointing: bool = False
+    accumulate_grad_batches: int = 1
 
 
 def _is_bn_buffer(path: Tuple[Any, ...]) -> bool:
@@ -83,15 +84,18 @@ def _label_params(params: Dict[str, Any], freeze_encoder: bool):
 
 
 def make_optimizer(tc: TrainConfig):
+    warmup = max(1, int(tc.warmup_ratio * tc.total_steps))
     schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0, peak_value=tc.lr,
-        warmup_steps=max(1, int(tc.warmup_ratio * tc.total_steps)),
-        decay_steps=tc.total_steps, end_value=0.0)
+        init_value=0.0, peak_value=tc.lr, warmup_steps=warmup,
+        # optax requires decay_steps > warmup_steps (guards total_steps=1)
+        decay_steps=max(tc.total_steps, warmup + 1), end_value=0.0)
     adamw = optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
         optax.adamw(schedule, weight_decay=tc.weight_decay),
     )
     return adamw, schedule
+
+
 
 
 class FineTuner:
@@ -136,6 +140,10 @@ class FineTuner:
         labels = _label_params(params, tc.freeze_encoder)
         opt = optax.multi_transform(
             {"train": adamw, "frozen": optax.set_to_zero()}, labels)
+        if tc.accumulate_grad_batches > 1:
+            # gradient accumulation (reference ``train.py:38,170``): the
+            # schedule advances per optimizer step, not per micro-batch
+            opt = optax.MultiSteps(opt, tc.accumulate_grad_batches)
         return opt, schedule
 
     # ------------------------------------------------------------------
@@ -238,11 +246,48 @@ class FineTuner:
         self.params, self.opt_state, loss, grad_norm = self._train_step_jit(
             self.params, self.opt_state, batch, rng)
         self.step += 1
+        opt_steps = self.step // max(1, self.tc.accumulate_grad_batches)
         return {
             "loss": float(loss),
             "grad_norm": float(grad_norm),
-            "lr": float(self.schedule(self.step)),
+            "lr": float(self.schedule(opt_steps)),
         }
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (reference: Lightning ckpt + --resume_from,
+    # ``train_utils/train.py:62,157-163,204``)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        import pickle
+
+        state = {
+            "params": jax.tree.map(np.asarray, self.params),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "step": self.step,
+            "model_config": self.cfg.to_dict(),
+            "train_config": dataclasses.asdict(self.tc),
+        }
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def restore_checkpoint(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        params = jax.tree.map(jnp.asarray, state["params"])
+        if self.mesh is not None:
+            params = shard_params(params, self.mesh, self.pspecs)
+        self.params = params
+        self.opt_state = jax.tree.map(
+            lambda old, new: jnp.asarray(new) if hasattr(old, "dtype") else new,
+            self.opt_state, state["opt_state"])
+        self.step = int(state["step"])
+        self.sync_model()
 
     def eval_step(self, batch) -> Tuple[float, List[str]]:
         """Returns (loss, hypotheses) for a batch."""

@@ -1,0 +1,167 @@
+"""Checkpoint converter tests: a synthetic reference-shaped torch .ckpt is
+built (correct state-dict names + tensor layouts), converted, and the
+resulting model runs.  Layout-transpose correctness is pinned by
+test_op_parity.py; these tests pin the *name mapping* and cfg translation."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from gigaam_tpu.checkpoint import (  # noqa: E402
+    config_from_reference,
+    convert_reference_checkpoint,
+)
+from gigaam_tpu.models.model import GigaAMASR, model_class_for  # noqa: E402
+
+
+def _ref_cfg_dict(kind="ctc", n_layers=2, d_model=32, n_heads=4, v=34):
+    cfg = {
+        "model_name": f"synth_{kind}",
+        "preprocessor": {
+            "_target_": "gigaam.preprocess.FeatureExtractor",
+            "sample_rate": 16000, "features": 64,
+        },
+        "encoder": {
+            "_target_": "gigaam.encoder.ConformerEncoder",
+            "feat_in": 64, "n_layers": n_layers, "d_model": d_model,
+            "subsampling": "conv2d", "subs_kernel_size": 3,
+            "subsampling_factor": 4, "ff_expansion_factor": 2,
+            "self_attention_model": "rotary", "n_heads": n_heads,
+            "pos_emb_max_len": 256, "conv_norm_type": "batch_norm",
+            "conv_kernel_size": 7,
+        },
+        "decoding": {
+            "_target_": "gigaam.decoding.CTCGreedyDecoding",
+            "vocabulary": [" "] + [chr(c) for c in range(1072, 1072 + v - 2)],
+        },
+    }
+    if kind == "ctc":
+        cfg["head"] = {"_target_": "gigaam.decoder.CTCHead",
+                       "feat_in": d_model, "num_classes": v}
+    else:
+        cfg["head"] = {
+            "_target_": "gigaam.decoder.RNNTHead",
+            "decoder": {"pred_hidden": 16, "pred_rnn_layers": 1,
+                        "num_classes": v},
+            "joint": {"enc_hidden": d_model, "pred_hidden": 16,
+                      "joint_hidden": 16, "num_classes": v},
+        }
+        cfg["decoding"]["_target_"] = "gigaam.decoding.RNNTGreedyDecoding"
+    return cfg
+
+
+def _ref_state_dict(kind="ctc", n_layers=2, d_model=32, n_heads=4, v=34):
+    """Reference-named state dict with torch tensor layouts."""
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.1
+
+    sd = {}
+    # subsampling: Sequential [Conv2d, ReLU, Conv2d, ReLU]
+    sd["encoder.pre_encode.conv.0.weight"] = t(d_model, 1, 3, 3)
+    sd["encoder.pre_encode.conv.0.bias"] = t(d_model)
+    sd["encoder.pre_encode.conv.2.weight"] = t(d_model, d_model, 3, 3)
+    sd["encoder.pre_encode.conv.2.bias"] = t(d_model)
+    f_out = 64
+    for _ in range(2):
+        f_out = (f_out - 1) // 2 + 1
+    sd["encoder.pre_encode.out.weight"] = t(d_model, d_model * f_out)
+    sd["encoder.pre_encode.out.bias"] = t(d_model)
+
+    for i in range(n_layers):
+        p = f"encoder.layers.{i}."
+        for nm in ("norm_feed_forward1", "norm_self_att", "norm_conv",
+                   "norm_feed_forward2", "norm_out"):
+            sd[p + nm + ".weight"] = t(d_model)
+            sd[p + nm + ".bias"] = t(d_model)
+        ff = d_model * 2
+        for nm in ("feed_forward1", "feed_forward2"):
+            sd[p + nm + ".linear1.weight"] = t(ff, d_model)
+            sd[p + nm + ".linear1.bias"] = t(ff)
+            sd[p + nm + ".linear2.weight"] = t(d_model, ff)
+            sd[p + nm + ".linear2.bias"] = t(d_model)
+        for nm in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            sd[p + f"self_attn.{nm}.weight"] = t(d_model, d_model)
+            sd[p + f"self_attn.{nm}.bias"] = t(d_model)
+        sd[p + "conv.pointwise_conv1.weight"] = t(2 * d_model, d_model, 1)
+        sd[p + "conv.pointwise_conv1.bias"] = t(2 * d_model)
+        sd[p + "conv.depthwise_conv.weight"] = t(d_model, 1, 7)
+        sd[p + "conv.depthwise_conv.bias"] = t(d_model)
+        sd[p + "conv.batch_norm.weight"] = t(d_model)
+        sd[p + "conv.batch_norm.bias"] = t(d_model)
+        sd[p + "conv.batch_norm.running_mean"] = t(d_model)
+        sd[p + "conv.batch_norm.running_var"] = torch.abs(t(d_model)) + 0.5
+        sd[p + "conv.pointwise_conv2.weight"] = t(d_model, d_model, 1)
+        sd[p + "conv.pointwise_conv2.bias"] = t(d_model)
+
+    if kind == "ctc":
+        sd["head.decoder_layers.0.weight"] = t(v, d_model, 1)
+        sd["head.decoder_layers.0.bias"] = t(v)
+    else:
+        h = 16
+        sd["head.decoder.embed.weight"] = t(v, h)
+        sd["head.decoder.lstm.weight_ih_l0"] = t(4 * h, h)
+        sd["head.decoder.lstm.weight_hh_l0"] = t(4 * h, h)
+        sd["head.decoder.lstm.bias_ih_l0"] = t(4 * h)
+        sd["head.decoder.lstm.bias_hh_l0"] = t(4 * h)
+        sd["head.joint.enc.weight"] = t(h, d_model)
+        sd["head.joint.enc.bias"] = t(h)
+        sd["head.joint.pred.weight"] = t(h, h)
+        sd["head.joint.pred.bias"] = t(h)
+        sd["head.joint.joint_net.1.weight"] = t(v, h)
+        sd["head.joint.joint_net.1.bias"] = t(v)
+    return sd
+
+
+@pytest.mark.parametrize("kind", ["ctc", "rnnt"])
+def test_convert_and_run(tmp_path, kind):
+    path = str(tmp_path / f"synth_{kind}.ckpt")
+    torch.save({"cfg": _ref_cfg_dict(kind), "state_dict": _ref_state_dict(kind)},
+               path)
+    cfg, params = convert_reference_checkpoint(path)
+
+    assert cfg.model_class == "asr"
+    assert cfg.encoder.n_layers == 2 and cfg.encoder.d_model == 32
+    # stacked layer axis
+    assert params["encoder"]["layers"]["norm_out"]["scale"].shape == (2, 32)
+
+    model = model_class_for(cfg)(cfg, params=params,
+                                 compute_dtype=jnp.float32)
+    assert isinstance(model, GigaAMASR)
+    enc, enc_len = model.encode_batch(
+        [np.random.default_rng(0).standard_normal(16000).astype(np.float32)])
+    assert np.isfinite(np.asarray(enc)).all()
+
+    # spot-check a transposed weight round-trip
+    w_torch = _ref_state_dict(kind)["encoder.pre_encode.out.weight"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["pre_encode"]["out"]["w"]), w_torch.T)
+
+
+def test_config_translation_relpos_layernorm():
+    cfg_d = _ref_cfg_dict("ctc")
+    cfg_d["encoder"]["self_attention_model"] = "rel_pos"
+    cfg_d["encoder"]["conv_norm_type"] = "layer_norm"
+    cfg_d["preprocessor"]["center"] = False
+    cfg = config_from_reference(cfg_d, "x")
+    assert cfg.encoder.self_attention_model == "rel_pos"
+    assert cfg.encoder.conv_norm_type == "layer_norm"
+    assert cfg.preprocessor.center is False
+    assert cfg.decoding is not None and len(cfg.decoding.vocabulary) == 33
+
+
+def test_lstm_bias_summed():
+    sd_t = _ref_state_dict("rnnt")
+    path_bias = (sd_t["head.decoder.lstm.bias_ih_l0"]
+                 + sd_t["head.decoder.lstm.bias_hh_l0"]).numpy()
+    cfg = config_from_reference(_ref_cfg_dict("rnnt"), "x")
+    from gigaam_tpu.checkpoint import convert_state_dict, state_dict_to_numpy
+
+    params = convert_state_dict(state_dict_to_numpy(sd_t), cfg)
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["decoder"]["lstm"][0]["b"]), path_bias,
+        atol=1e-6)

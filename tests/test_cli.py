@@ -1,0 +1,144 @@
+"""End-to-end CLI tests (mirror of reference ``tests/test_training.py``):
+build a tiny synthetic dataset + manifest, run the train CLI for a few
+steps, resume from its checkpoint, then run the eval CLI on the result."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import gigaam_tpu
+from gigaam_tpu.audio import save_wav
+from gigaam_tpu.data import AudioDataset, write_manifest
+from gigaam_tpu.models.model import GigaAMASR
+from gigaam_tpu.train import eval as eval_cli
+from gigaam_tpu.train import train as train_cli
+
+from test_training import tiny_cfg  # reuse tiny model configs
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds")
+    rng = np.random.default_rng(0)
+    rows = []
+    texts = ["аб ва", "ба гд", "дг аб", "вг ба"]
+    for i, text in enumerate(texts):
+        n = 16000 + 1600 * i
+        wav = (0.1 * rng.standard_normal(n)).astype(np.float32)
+        path = str(d / f"utt{i}.wav")
+        save_wav(path, wav)
+        rows.append((path, n / 16000.0, text))
+    manifest = str(d / "manifest.tsv")
+    write_manifest(manifest, rows)
+    return d, manifest
+
+
+@pytest.fixture(scope="module")
+def tiny_model_artifact(tmp_path_factory, dataset_dir):
+    d = tmp_path_factory.mktemp("model")
+    model = GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+    path = str(d / "tiny_ctc")
+    gigaam_tpu.save_model(model, path)
+    return path
+
+
+def test_audio_dataset(dataset_dir):
+    d, manifest = dataset_dir
+    model = GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+    ds = AudioDataset(manifest, tokenizer=model.tokenizer, return_tokens=True)
+    assert len(ds) == 4
+    batches = list(ds.batches(2, sort_by_duration=True))
+    assert len(batches) == 2
+    wavs, lens, toks, tlens = batches[0]
+    assert wavs.shape[1] % 16000 == 0          # 1 s audio buckets
+    assert toks.shape[1] % 16 == 0             # token buckets
+    assert (lens > 0).all() and (tlens > 0).all()
+    # duration filter
+    ds2 = AudioDataset(manifest, tokenizer=model.tokenizer,
+                       return_tokens=True, min_duration=1.05)
+    assert len(ds2) == 3
+
+
+def test_train_cli_and_resume(dataset_dir, tiny_model_artifact, tmp_path):
+    _, manifest = dataset_dir
+    save_dir = str(tmp_path / "exp")
+    args = [
+        "--model_name", tiny_model_artifact,
+        "--train_manifest", manifest,
+        "--val_manifest", manifest,
+        "--batch_size", "2",
+        "--max_steps", "4",
+        "--lr", "1e-3",
+        "--precision", "fp32",
+        "--save_dir", save_dir,
+        "--log_every_n_steps", "1",
+        "--save_top_k", "2",
+    ]
+    train_cli.main(args)
+
+    # metrics stream + final artifact + top-k checkpoint exist
+    metrics = [json.loads(l) for l in
+               open(os.path.join(save_dir, "metrics.jsonl"))]
+    assert any(m["kind"] == "train" for m in metrics)
+    assert any(m["kind"] == "val" for m in metrics)
+    assert os.path.exists(os.path.join(save_dir, "final.npz"))
+    ckpts = [f for f in os.listdir(save_dir) if f.endswith(".ckpt")]
+    assert 1 <= len(ckpts) <= 2
+
+    # resume continues from saved step
+    args_resume = args[:-2] + [
+        "--save_top_k", "1",
+        "--max_steps", "6",
+        "--resume_from_checkpoint", os.path.join(save_dir, ckpts[0]),
+    ]
+    train_cli.main(args_resume)
+
+
+def test_eval_cli(dataset_dir, tiny_model_artifact, tmp_path, capsys):
+    _, manifest = dataset_dir
+    out = str(tmp_path / "preds.jsonl")
+    eval_cli.main([
+        "--model_name", tiny_model_artifact,
+        "--manifest", manifest,
+        "--batch_size", "2",
+        "--out", out,
+    ])
+    captured = capsys.readouterr().out
+    assert "WER (e2e)" in captured and "WER (raw)" in captured
+    preds = [json.loads(l) for l in open(out)]
+    assert len(preds) == 4
+    assert all("prediction" in p and "reference" in p for p in preds)
+    assert preds[0]["reference"] == "аб ва"
+
+
+def test_grad_accumulation_equivalence():
+    """k micro-batches with accumulation ~= 1 full batch step."""
+    import jax
+
+    from gigaam_tpu.train.finetune import FineTuner, TrainConfig
+    from test_training import synth_batch
+
+    model_a = GigaAMASR(tiny_cfg("ctc"), seed=7, compute_dtype=jnp.float32)
+    model_b = GigaAMASR(tiny_cfg("ctc"), seed=7, compute_dtype=jnp.float32)
+    tc_full = TrainConfig(lr=1e-3, total_steps=4, precision="fp32",
+                          grad_clip=1e9)
+    tc_accum = TrainConfig(lr=1e-3, total_steps=4, precision="fp32",
+                           grad_clip=1e9, accumulate_grad_batches=2)
+    ft_full = FineTuner(model_a, tc_full)
+    ft_accum = FineTuner(model_b, tc_accum)
+
+    full = synth_batch(b=4, seed=9)
+    half1 = tuple(x[:2] for x in full)
+    half2 = tuple(x[2:] for x in full)
+
+    ft_full.train_step(full, jax.random.PRNGKey(0))
+    ft_accum.train_step(half1, jax.random.PRNGKey(0))
+    ft_accum.train_step(half2, jax.random.PRNGKey(0))
+
+    wa = np.asarray(ft_full.params["head"]["proj"]["w"])
+    wb = np.asarray(ft_accum.params["head"]["proj"]["w"])
+    np.testing.assert_allclose(wa, wb, atol=1e-5)
