@@ -10,6 +10,21 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+# Persistent XLA compilation cache: full-size encoder graphs cost minutes to
+# compile per padded-shape bucket; caching makes warm starts near-instant.
+# Opt out with GIGAAM_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("GIGAAM_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/gigaam_tpu/jax_cache"))
+    try:  # jax may already be imported: env var alone would be ignored
+        import jax as _jax
+
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    except Exception:
+        pass
+
 from .audio import format_time, load_audio
 from .config import RU_VOCAB, SAMPLE_RATE, ModelConfig, make_preset
 from .models.model import (

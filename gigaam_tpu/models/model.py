@@ -118,8 +118,7 @@ class GigaAM:
             compute_dtype=self.compute_dtype)
         return encoded, enc_lens
 
-    def _pos_for(self, padded_samples: int):
-        t_feat = num_frames(padded_samples, self.cfg.preprocessor)
+    def _pos_for_tfeat(self, t_feat: int):
         t_sub = int(
             subsampled_length(jnp.asarray([t_feat]),
                               self.cfg.encoder.num_subsampling_stages,
@@ -127,6 +126,10 @@ class GigaAM:
         if self.cfg.encoder.self_attention_model == "rotary":
             return self.pos_tables.rotary(t_sub)
         return self.pos_tables.relpos(t_sub)
+
+    def _pos_for(self, padded_samples: int):
+        return self._pos_for_tfeat(
+            num_frames(padded_samples, self.cfg.preprocessor))
 
     def encode_batch(
         self, wavs: List[np.ndarray]

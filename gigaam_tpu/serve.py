@@ -1,0 +1,220 @@
+"""Batching ASR server — the Triton-ensemble equivalent, dependency-free.
+
+The reference serves via Triton with a 3-stage ensemble: python
+preprocessing -> ONNX/TRT encoder -> python postprocessing
+(``triton_scripts/repos/*/config.pbtxt``).  Here the same decomposition runs
+in one process around the TPU: host audio decode -> jitted
+features+encoder+decode (AOT-warmed per shape bucket) -> host text assembly,
+with cross-request dynamic batching (collect up to ``max_batch`` requests
+within ``batch_window_ms``) like Triton's scheduler.
+
+HTTP API (stdlib only):
+  GET  /health               -> {"status": "ok", "model": ...}
+  POST /transcribe           -> {"text": ...[, "words": [...]]}
+       body: WAV bytes (Content-Type: audio/wav) or JSON
+       {"audio": [floats @16 kHz]}; query ?timestamps=1 for word times.
+
+Usage: python -m gigaam_tpu.serve --model_name <artifact> --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .config import LONGFORM_THRESHOLD_SEC, SAMPLE_RATE
+from .models.model import GigaAMASR
+
+
+class _Request:
+    __slots__ = ("wav", "timestamps", "event", "result", "error")
+
+    def __init__(self, wav: np.ndarray, timestamps: bool):
+        self.wav = wav
+        self.timestamps = timestamps
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[str] = None
+
+
+class BatchingASRServer:
+    """Dynamic-batching inference loop around a GigaAMASR model."""
+
+    def __init__(self, model: GigaAMASR, max_batch: int = 8,
+                 batch_window_ms: float = 15.0):
+        self.model = model
+        self.max_batch = max_batch
+        self.window = batch_window_ms / 1000.0
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def warmup(self, seconds: List[int] = (5, 10, 20)) -> None:
+        """Pre-compile the bucket graphs so first requests aren't slow."""
+        rng = np.random.default_rng(0)
+        for s in seconds:
+            wav = (0.01 * rng.standard_normal(SAMPLE_RATE * s)
+                   ).astype(np.float32)
+            self.model._decode_batch([wav], word_timestamps=False)
+
+    def submit(self, wav: np.ndarray, timestamps: bool,
+               timeout: float = 120.0) -> _Request:
+        req = _Request(wav, timestamps)
+        self.q.put(req)
+        if not req.event.wait(timeout):
+            req.error = "timeout"
+        return req
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.window
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._process(batch)
+
+    def _process(self, batch: List[_Request]) -> None:
+        try:
+            want_ts = any(r.timestamps for r in batch)
+            outs = self.model._decode_batch([r.wav for r in batch],
+                                            word_timestamps=want_ts)
+            for r, (text, words) in zip(batch, outs):
+                r.result = {"text": text}
+                if r.timestamps and words is not None:
+                    r.result["words"] = [
+                        {"text": w.text, "start": round(w.start, 3),
+                         "end": round(w.end, 3)} for w in words]
+                r.event.set()
+        except Exception as exc:  # surface per-request, keep serving
+            for r in batch:
+                r.error = f"{type(exc).__name__}: {exc}"
+                r.event.set()
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+
+def _parse_wav_bytes(body: bytes) -> np.ndarray:
+    with wave.open(io.BytesIO(body), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        sr = wf.getframerate()
+        data = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+        if wf.getnchannels() > 1:
+            data = data.reshape(-1, wf.getnchannels()).mean(axis=1)
+    wav = data.astype(np.float32) / 32768.0
+    if sr != SAMPLE_RATE:
+        from .audio import resample
+
+        wav = resample(wav, sr, SAMPLE_RATE)
+    return wav
+
+
+def make_handler(server: BatchingASRServer):
+    model_name = server.model.cfg.model_name
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, obj) -> None:
+            body = json.dumps(obj, ensure_ascii=False).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/health":
+                self._send(200, {"status": "ok", "model": model_name})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/transcribe":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if "json" in ctype:
+                    payload = json.loads(body)
+                    wav = np.asarray(payload["audio"], dtype=np.float32)
+                else:
+                    wav = _parse_wav_bytes(body)
+            except Exception as exc:
+                self._send(400, {"error": f"bad request: {exc}"})
+                return
+            if wav.size == 0:
+                self._send(400, {"error": "empty audio"})
+                return
+            if wav.size > LONGFORM_THRESHOLD_SEC * SAMPLE_RATE:
+                self._send(400, {
+                    "error": "audio longer than 25 s; use longform "
+                             "client-side segmentation"})
+                return
+            ts = parse_qs(parsed.query).get("timestamps", ["0"])[0] == "1"
+            req = server.submit(wav, ts)
+            if req.error:
+                self._send(500, {"error": req.error})
+            else:
+                self._send(200, req.result)
+
+    return Handler
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="GigaAM-TPU batch ASR server")
+    ap.add_argument("--model_name", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--batch_window_ms", type=float, default=15.0)
+    ap.add_argument("--warmup_seconds", type=int, nargs="*", default=[5, 10])
+    args = ap.parse_args(argv)
+
+    import gigaam_tpu
+
+    model = gigaam_tpu.load_model(args.model_name)
+    assert isinstance(model, GigaAMASR), "ASR model required"
+    server = BatchingASRServer(model, args.max_batch, args.batch_window_ms)
+    if args.warmup_seconds:
+        print(f"warming up buckets {args.warmup_seconds}...")
+        server.warmup(args.warmup_seconds)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    print(f"serving {model.cfg.model_name} on http://{args.host}:{args.port}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

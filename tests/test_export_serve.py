@@ -1,0 +1,155 @@
+"""Export + serving tests: StableHLO round-trip parity (the analogue of the
+reference's ONNX parity suite, ``tests/test_onnx.py``) and the batching
+HTTP server end-to-end."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gigaam_tpu.export import export_model, load_exported
+from gigaam_tpu.frontend import LogMelFrontend
+from gigaam_tpu.models.model import GigaAMASR
+from gigaam_tpu.serve import BatchingASRServer, make_handler
+
+from test_training import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def ctc_model():
+    return GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def rnnt_model():
+    return GigaAMASR(tiny_cfg("rnnt"), seed=0, compute_dtype=jnp.float32)
+
+
+def test_export_ctc_roundtrip(tmp_path, ctc_model):
+    out = str(tmp_path / "export")
+    manifest = export_model(ctc_model, out, batch_sizes=(2,),
+                            audio_seconds=(1,))
+    assert "ctc" in manifest["graphs"]
+
+    cfg, graphs = load_exported(out)
+    assert cfg.model_name == ctc_model.cfg.model_name
+    g = graphs["ctc"][0]
+
+    # parity vs the live model (reference test_onnx.py contract)
+    rng = np.random.default_rng(0)
+    wavs = [(0.1 * rng.standard_normal(16000)).astype(np.float32),
+            (0.1 * rng.standard_normal(12000)).astype(np.float32)]
+    fe = LogMelFrontend(cfg.preprocessor)
+    batch = np.zeros((2, 16000), np.float32)
+    batch[0], batch[1, :12000] = wavs[0], wavs[1]
+    feats, feat_lens = fe(jnp.asarray(batch), jnp.asarray([16000, 12000]))
+    feats = jnp.transpose(feats, (0, 2, 1))
+
+    log_probs, enc_lens = g(np.asarray(feats), np.asarray(feat_lens))
+
+    pos = ctc_model._pos_for(16000)
+    enc_live, lens_live = ctc_model._encode_jit(
+        ctc_model.params, jnp.asarray(batch), jnp.asarray([16000, 12000]), pos)
+    from gigaam_tpu.models.heads import ctc_log_probs
+
+    lp_live = ctc_log_probs(ctc_model.params["head"], enc_live)
+    np.testing.assert_array_equal(np.asarray(enc_lens), np.asarray(lens_live))
+    np.testing.assert_allclose(np.asarray(log_probs), np.asarray(lp_live),
+                               atol=1e-4)
+
+
+def test_export_rnnt_parts(tmp_path, rnnt_model):
+    out = str(tmp_path / "export_rnnt")
+    manifest = export_model(rnnt_model, out, batch_sizes=(1,),
+                            audio_seconds=(1,))
+    assert set(manifest["graphs"]) >= {"encoder", "decoder", "joint"}
+
+    _, graphs = load_exported(out)
+    dec = graphs["decoder"][0]
+    jnt = graphs["joint"][0]
+
+    from gigaam_tpu.models.heads import rnnt_joint_step, rnnt_predict_step
+
+    h0 = np.zeros((1, 1, 16), np.float32)
+    labels = np.array([3], np.int32)
+    pred, h1, c1 = dec(labels, h0, h0)
+    pred_ref, h_ref, c_ref = rnnt_predict_step(
+        rnnt_model.params["head"], jnp.asarray(labels), jnp.asarray(h0),
+        jnp.asarray(h0))
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(pred_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h_ref), atol=1e-5)
+
+    enc_t = np.random.default_rng(1).standard_normal((1, 32)).astype(np.float32)
+    lp = jnt(enc_t, np.asarray(pred))
+    lp_ref = rnnt_joint_step(rnnt_model.params["head"], jnp.asarray(enc_t),
+                             jnp.asarray(pred_ref))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def http_server(ctc_model):
+    server = BatchingASRServer(ctc_model, max_batch=4, batch_window_ms=5.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+    server.shutdown()
+
+
+def _post_json(url, payload, query=""):
+    req = urllib.request.Request(
+        url + "/transcribe" + query,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_server_health_and_transcribe(http_server):
+    with urllib.request.urlopen(http_server + "/health", timeout=10) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok"
+
+    rng = np.random.default_rng(0)
+    wav = (0.1 * rng.standard_normal(16000)).tolist()
+    status, out = _post_json(http_server, {"audio": wav})
+    assert status == 200 and "text" in out
+
+    status, out = _post_json(http_server, {"audio": wav}, "?timestamps=1")
+    assert status == 200 and "words" in out
+
+
+def test_server_concurrent_batching(http_server):
+    rng = np.random.default_rng(1)
+    results = [None] * 4
+
+    def worker(i):
+        wav = (0.1 * rng.standard_normal(16000)).tolist()
+        results[i] = _post_json(http_server, {"audio": wav})
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None and r[0] == 200 for r in results)
+
+
+def test_server_error_paths(http_server):
+    status, out = _post_json(http_server, {"audio": []})
+    assert status == 400 and "empty" in out["error"]
+    status, out = _post_json(http_server,
+                             {"audio": [0.0] * (26 * 16000)})
+    assert status == 400 and "longform" in out["error"]
+    status, out = _post_json(http_server, {"wrong_key": 1})
+    assert status == 400
