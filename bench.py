@@ -47,17 +47,33 @@ def main() -> None:
     lens = jnp.asarray(lens)
     pos = model._pos_for(batch.shape[1])
 
-    def run_once():
-        labels, keep, enc_lens = model._asr_fwd(model.params, batch, lens, pos)
-        jax.block_until_ready((labels, keep, enc_lens))
+    # Device-side loop of K forwards per dispatch: the remote-TPU tunnel
+    # costs tens of ms per host round trip, which would dominate a
+    # per-call measurement.  Each iteration perturbs the input (data
+    # dependency on the loop counter) so XLA cannot CSE the body.
+    K = 10
 
-    run_once()  # compile
-    run_once()  # warm
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        run_once()
-    dt = (time.perf_counter() - t0) / n_iter
+    @jax.jit
+    def run_k(params, wavs_in, lens_in, pos_in):
+        def body(i, acc):
+            w = wavs_in + (1e-7 * i)
+            labels, keep, enc_lens = model._ctc_forward_impl(
+                params, w, lens_in, pos_in)
+            return acc + labels.sum() + enc_lens.sum()
+
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    jax.block_until_ready(run_k(model.params, batch, lens, pos))  # compile
+    window_medians = []
+    for _ in range(3):
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run_k(model.params, batch, lens, pos))
+            times.append((time.perf_counter() - t0) / K)
+        window_medians.append(float(np.median(times)))
+        time.sleep(0.5)
+    dt = min(window_medians)
 
     audio_seconds = batch_size * seconds
     rtf = audio_seconds / dt

@@ -77,6 +77,7 @@ def load_model(
     download_root: Optional[str] = None,
     init: str = "weights",
     seed: int = 0,
+    bf16_encoder: bool = False,
     **kw,
 ) -> GigaAM:
     """Load a model by name or from a local artifact.
@@ -91,14 +92,27 @@ def load_model(
     """
     root = download_root or _CACHE_DIR
 
+    def _finalize(model: GigaAM) -> GigaAM:
+        # Optional bf16 encoder weights (reference ``fp16_encoder`` analogue,
+        # ``gigaam/__init__.py:188-189``).  Off by default: on TPU v5e the
+        # measured forward is ~25% slower with pre-cast bf16 weights than
+        # with fp32 storage + in-graph casts (XLA fuses the cast into the
+        # matmul pipeline), so this is a memory-footprint knob, not a speed
+        # knob.
+        import jax
+
+        if bf16_encoder and jax.default_backend() != "cpu":
+            model.cast_encoder()
+        return model
+
     local = os.path.expanduser(model_name)
     if os.path.isfile(local) or os.path.isfile(local + ".npz"):
         if local.endswith(".ckpt"):
             from .checkpoint import convert_reference_checkpoint
 
             cfg, params = convert_reference_checkpoint(local)
-            return model_class_for(cfg)(cfg, params=params, **kw)
-        return load_native(local, **kw)
+            return _finalize(model_class_for(cfg)(cfg, params=params, **kw))
+        return _finalize(load_native(local, **kw))
 
     if model_name not in _KNOWN_MODELS:
         raise ValueError(
@@ -106,11 +120,11 @@ def load_model(
 
     cached = os.path.join(root, f"{model_name}.npz")
     if os.path.isfile(cached):
-        return load_native(cached, **kw)
+        return _finalize(load_native(cached, **kw))
 
     if init == "random":
         cfg = make_preset(model_name)
-        return model_class_for(cfg)(cfg, seed=seed, **kw)
+        return _finalize(model_class_for(cfg)(cfg, seed=seed, **kw))
 
     raise FileNotFoundError(
         f"No converted weights for '{model_name}' under {root}. Convert a "

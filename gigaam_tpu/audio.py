@@ -31,7 +31,9 @@ def _decode_wav(path: str) -> Tuple[np.ndarray, int]:
         raw = wf.readframes(n_frames)
 
     if sampwidth == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        from . import native
+
+        data = native.s16_to_f32(np.frombuffer(raw, dtype="<i2"))
     elif sampwidth == 4:
         data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     elif sampwidth == 1:
@@ -69,16 +71,30 @@ def _decode_ffmpeg(path: str, sample_rate: int) -> np.ndarray:
 
 
 def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase windowed-sinc resampling (host-side, numpy/scipy)."""
+    """Polyphase windowed-sinc resampling.
+
+    Tap design (kaiser beta=5 sinc) happens in Python; the upfirdn inner
+    loop runs in the native C++ kernel when built (``native/native.cpp``),
+    with a scipy fallback.
+    """
     if orig_sr == target_sr:
         return wav
     from math import gcd
 
-    from scipy.signal import resample_poly
-
     g = gcd(orig_sr, target_sr)
-    out = resample_poly(wav.astype(np.float64), target_sr // g, orig_sr // g)
-    return out.astype(np.float32)
+    up, down = target_sr // g, orig_sr // g
+
+    from scipy.signal import firwin
+
+    from . import native
+
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    taps = firwin(2 * half_len + 1, 1.0 / max_rate,
+                  window=("kaiser", 5.0)).astype(np.float32)
+    n_out = int(np.ceil(len(wav) * up / down))
+    return native.resample_poly(wav.astype(np.float32), up, down, taps,
+                                offset=half_len, n_out=n_out)
 
 
 def load_audio(audio_path: str, sample_rate: int = SAMPLE_RATE) -> np.ndarray:

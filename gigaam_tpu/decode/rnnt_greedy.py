@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.heads import rnnt_joint_step, rnnt_predict_step
+from ..models.heads import (
+    rnnt_joint_enc_proj,
+    rnnt_joint_step_preproj,
+    rnnt_predict_step,
+)
 
 
 @partial(jax.jit, static_argnames=("max_symbols", "max_tokens"))
@@ -65,6 +69,9 @@ def rnnt_greedy_decode(
         count=jnp.zeros((b,), jnp.int32),
     )
     enc_len = jnp.clip(enc_len, 0, t_max)
+    # hoist the encoder-side joint projection out of the loop: one big
+    # [B,T,D]x[D,J] MXU matmul instead of a [B,D]x[D,J] matmul per step
+    enc_proj = rnnt_joint_enc_proj(params, encoded.astype(jnp.float32))
 
     def cond(s):
         return jnp.any(s["t"] < enc_len)
@@ -73,9 +80,9 @@ def rnnt_greedy_decode(
         active = s["t"] < enc_len
         t_safe = jnp.minimum(s["t"], t_max - 1)
         enc_t = jnp.take_along_axis(
-            encoded, t_safe[:, None, None], axis=1)[:, 0, :]       # [B, D]
+            enc_proj, t_safe[:, None, None], axis=1)[:, 0, :]      # [B, J]
         pred, h_new, c_new = rnnt_predict_step(params, s["label"], s["h"], s["c"])
-        logp = rnnt_joint_step(params, enc_t, pred)                # [B, V]
+        logp = rnnt_joint_step_preproj(params, enc_t, pred)        # [B, V]
         k = jnp.argmax(logp, axis=-1).astype(jnp.int32)            # [B]
 
         emit = (k != blank) & active & (s["count"] < u_cap)

@@ -26,11 +26,14 @@ def levenshtein(a: Sequence, b: Sequence) -> int:
 
 def wer_counts(hyps: List[str], refs: List[str]) -> Tuple[int, int]:
     """(total word errors, total reference words); words = max(len, 1)
-    per sample as in the reference (``module.py:178-187``)."""
+    per sample as in the reference (``module.py:178-187``).  Uses the
+    native C++ edit distance when built (``native/native.cpp``)."""
+    from . import native
+
     errors = words = 0
     for hyp, ref in zip(hyps, refs):
         rw, hw = ref.split(), hyp.split()
-        errors += levenshtein(rw, hw)
+        errors += native.levenshtein_seqs(rw, hw)
         words += max(len(rw), 1)
     return errors, words
 

@@ -137,6 +137,26 @@ def rnnt_joint_step(
     return jax.nn.log_softmax(logits, axis=-1)
 
 
+def rnnt_joint_enc_proj(params: Params, encoded: jnp.ndarray) -> jnp.ndarray:
+    """Hoisted encoder-side joint projection: [B, T, D] -> [B, T, J].
+
+    One large MXU matmul before the greedy label loop, so each loop
+    iteration only computes the predictor-side projection (the reference
+    recomputes the encoder projection every step,
+    ``gigaam/decoder.py:41-47`` via ``decoding.py:162``)."""
+    return linear(params["joint"]["enc"], encoded)
+
+
+def rnnt_joint_step_preproj(
+    params: Params, enc_proj_t: jnp.ndarray, pred: jnp.ndarray
+) -> jnp.ndarray:
+    """Joint from a pre-projected encoder frame [B, J] + pred [B, H]."""
+    j = params["joint"]
+    x = enc_proj_t + linear(j["pred"], pred)
+    logits = linear(j["out"], jax.nn.relu(x)).astype(jnp.float32)
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
 def rnnt_joint_logits(
     params: Params, encoded: jnp.ndarray, pred_out: jnp.ndarray
 ) -> jnp.ndarray:

@@ -79,19 +79,35 @@ class GigaAM:
         params: Optional[Dict[str, Any]] = None,
         seed: int = 0,
         compute_dtype: Optional[jnp.dtype] = None,
+        use_fused_attention: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.frontend = LogMelFrontend(cfg.preprocessor)
         self.pos_tables = PosTables(cfg.encoder)
+        on_accel = jax.default_backend() != "cpu"
         if compute_dtype is None:
-            compute_dtype = (
-                jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
-            )
+            compute_dtype = jnp.bfloat16 if on_accel else jnp.float32
         self.compute_dtype = compute_dtype
+        # Fused Pallas attention: our SDPA-backend analogue (the reference
+        # defaults to torch SDPA on GPU, ``gigaam/encoder.py:456-462``).
+        # Auto-on for rotary models on accelerators; override via arg.
+        if use_fused_attention is None:
+            use_fused_attention = (
+                on_accel and cfg.encoder.self_attention_model == "rotary")
+        cfg.encoder.flash_attn = bool(use_fused_attention)
         if params is None:
             params = self.init_params(jax.random.PRNGKey(seed))
         self.params = params
         self._encode_jit = jax.jit(self._encode_impl)
+
+    def cast_encoder(self, dtype=jnp.bfloat16) -> None:
+        """Cast encoder weights in place (reference ``fp16_encoder``:
+        ``gigaam/__init__.py:188-189`` halves the encoder on GPU).  Halves
+        HBM weight traffic per forward; heads stay fp32."""
+        self.params["encoder"] = jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            self.params["encoder"])
 
     # -- params ------------------------------------------------------------
 

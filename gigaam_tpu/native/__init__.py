@@ -1,0 +1,131 @@
+"""ctypes loader for the native host kernels (see ``native.cpp``).
+
+Builds ``_native.so`` with g++ on first import if missing (build image has
+no pybind11; a plain C ABI + ctypes keeps the binding surface minimal).
+Every entry point has a pure-Python/numpy fallback, so the package works
+without a compiler — the native path is a data-loader / eval throughput
+optimization, mirroring how the reference leaned on ffmpeg/editdistance C++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SO = os.path.join(_DIR, "_native.so")
+_SRC = os.path.join(_DIR, "native.cpp")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    lib.s16_to_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64]
+    lib.s16_interleaved_to_mono_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int32]
+    lib.resample_poly_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    lib.levenshtein_i32.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+    lib.levenshtein_i32.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def s16_to_f32(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM -> float32 [-1, 1)."""
+    lib = _load()
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    if lib is None:
+        return pcm.astype(np.float32) / 32768.0
+    out = np.empty(pcm.shape, dtype=np.float32)
+    lib.s16_to_f32(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), _fptr(out),
+        pcm.size)
+    return out
+
+
+def levenshtein_ids(a: Sequence[int], b: Sequence[int]) -> int:
+    lib = _load()
+    aa = np.asarray(list(a), dtype=np.int32)
+    bb = np.asarray(list(b), dtype=np.int32)
+    if lib is None:
+        from ..metrics import levenshtein as py_lev
+
+        return py_lev(aa.tolist(), bb.tolist())
+    return int(lib.levenshtein_i32(
+        aa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), aa.size,
+        bb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), bb.size))
+
+
+def levenshtein_seqs(a: Sequence, b: Sequence) -> int:
+    """Edit distance over arbitrary hashable items (e.g. words)."""
+    ids = {}
+    enc = [[], []]
+    for out, seq in zip(enc, (a, b)):
+        for item in seq:
+            out.append(ids.setdefault(item, len(ids)))
+    return levenshtein_ids(enc[0], enc[1])
+
+
+def resample_poly(x: np.ndarray, up: int, down: int,
+                  taps: np.ndarray, offset: int = 0,
+                  n_out: Optional[int] = None) -> np.ndarray:
+    """Polyphase FIR resample (native upfirdn core)."""
+    lib = _load()
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    taps = np.ascontiguousarray(taps, dtype=np.float32)
+    if n_out is None:
+        n_out = int(np.ceil(len(x) * up / down))
+    if lib is None:
+        from scipy.signal import upfirdn
+
+        full = upfirdn(taps * up, x, up, down)
+        start = offset // down
+        return full[start:start + n_out].astype(np.float32)
+    out = np.empty(n_out, dtype=np.float32)
+    lib.resample_poly_f32(_fptr(x), len(x), _fptr(out), n_out,
+                          _fptr(taps), len(taps), up, down, offset)
+    return out

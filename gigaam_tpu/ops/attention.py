@@ -71,8 +71,14 @@ def rotary_mha(
     sin: jnp.ndarray,
     valid: Optional[jnp.ndarray],
     n_heads: int,
+    use_fused: bool = False,
 ) -> jnp.ndarray:
-    """Rotary self-attention. x [B, T, D]; cos/sin [T, d_head]."""
+    """Rotary self-attention. x [B, T, D]; cos/sin [T, d_head].
+
+    ``use_fused`` routes the SDPA core through the Pallas VMEM-resident
+    kernel (``ops/pallas_attention.py``) — our analogue of the reference's
+    SDPA/flash backends (``gigaam/encoder.py:258-274``).
+    """
     b, t, d = x.shape
     xh = x.reshape(b, t, n_heads, d // n_heads)
     xr = apply_rotary(xh, cos, sin).reshape(b, t, d)
@@ -80,6 +86,13 @@ def rotary_mha(
     q = _split_heads(_linear(params["linear_q"], xr), n_heads)
     k = _split_heads(_linear(params["linear_k"], xr), n_heads)
     v = _split_heads(_linear(params["linear_v"], x), n_heads)
+
+    if use_fused:
+        from .pallas_attention import fused_mha
+
+        valid_b = (jnp.ones((b, t), jnp.bool_) if valid is None else valid)
+        out = fused_mha(q, k, v, valid_b)
+        return _linear(params["linear_out"], _merge_heads(out))
 
     scale = 1.0 / math.sqrt(q.shape[-1])
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,

@@ -1,0 +1,105 @@
+"""Fused self-attention Pallas kernel for the Conformer encoder.
+
+Replaces the reference's flash-attn CUDA dependency
+(``gigaam/encoder.py:258-274``, ``gigaam/utils.py:103-155``) with a
+TPU-native design.  Speech-encoder sequences after 4x subsampling are short
+(25 s audio -> T' = 625; VAD caps segments at 30 s -> T' <= 750), so the
+*entire* K/V for one (batch, head) slice fits in VMEM.  The kernel therefore
+streams query blocks against VMEM-resident K/V, computing
+scores -> masked softmax -> @V entirely on-chip: the [T, T] score matrix
+never touches HBM (the XLA fallback path materializes it per layer).
+
+The rotary embedding is applied *before* the Q/K/V projections in this
+architecture (reference quirk, ``gigaam/encoder.py:244-256``), so the kernel
+is rope-free — plain masked SDPA.
+
+Falls back to the XLA path when T exceeds the VMEM budget or when not on
+TPU (`fused_attention_available`).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only imports on TPU-enabled jaxlibs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+NEG_INF = -1e9
+_MAX_VMEM_T = 2048  # K/V + score-block VMEM budget bound
+
+
+def fused_attention_available(t: int) -> bool:
+    return (_HAS_PLTPU and t <= _MAX_VMEM_T
+            and jax.default_backend() not in ("cpu",))
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    q = q_ref[0]                                   # [blk_q, d]
+    k = k_ref[0]                                   # [T, d]
+    v = v_ref[0]
+    mask = mask_ref[0]                             # [1, T] int8
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [blk_q, T]
+    s = jnp.where(mask != 0, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def fused_mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid: jnp.ndarray,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Masked SDPA. q/k/v [B, H, T, d]; valid [B, T] bool -> [B, H, T, d].
+
+    Output rows for invalid (padded) query positions are garbage, matching
+    the XLA path's contract: the Conformer conv module re-zeroes padding
+    before any cross-time mixing (``gigaam/encoder.py:396-409``).
+    """
+    b, h, t, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    bh = b * h
+    qf = q.reshape(bh, t, d)
+    kf = k.reshape(bh, t, d)
+    vf = v.reshape(bh, t, d)
+    # [B, 1, T]: TPU block shapes need the sublane dim to match the array
+    mask8 = valid.astype(jnp.int8)[:, None, :]
+
+    n_q = pl.cdiv(t, block_q)
+    grid = (bh, n_q)
+    kernel = functools.partial(_attn_kernel, scale=scale)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, j: (i // h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+    )(qf, kf, vf, mask8)
+    return out.reshape(b, h, t, d)

@@ -120,7 +120,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     from gigaam_tpu.parallel.mesh import make_mesh
     from gigaam_tpu.train.finetune import FineTuner, TrainConfig
 
-    model = gigaam_tpu.load_model(args.model_name)
+    # fp32 master weights for training (bf16 is the compute dtype only)
+    model = gigaam_tpu.load_model(args.model_name, bf16_encoder=False)
     assert model.cfg.decoding is not None, "ASR model required"
 
     train_ds = AudioDataset(

@@ -1,0 +1,56 @@
+"""Pallas fused-attention kernel numerics vs the XLA reference path
+(interpret mode on CPU; the real-TPU path is exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gigaam_tpu.ops.attention import _masked_softmax
+from gigaam_tpu.ops.pallas_attention import fused_mha
+
+
+def _xla_attention(q, k, v, valid):
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    attn = _masked_softmax(scores, valid).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@pytest.mark.parametrize("t,block_q", [(128, 64), (200, 128), (64, 256)])
+def test_fused_matches_xla(t, block_q):
+    b, h, d = 2, 4, 48
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    valid = np.ones((b, t), bool)
+    valid[1, t // 2:] = False
+    valid_j = jnp.asarray(valid)
+
+    ref = np.asarray(_xla_attention(q, k, v, valid_j))
+    got = np.asarray(fused_mha(q, k, v, valid_j, block_q=block_q,
+                               interpret=True))
+
+    # compare only valid query rows (padded rows are garbage by contract)
+    for bi in range(b):
+        tv = valid[bi].sum()
+        np.testing.assert_allclose(got[bi, :, :tv], ref[bi, :, :tv],
+                                   atol=2e-5)
+
+
+def test_fused_bf16():
+    b, h, t, d = 1, 2, 96, 48
+    rng = np.random.default_rng(1)
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((b, h, t, d)).astype(np.float32)).astype(
+            jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    valid = jnp.ones((b, t), bool)
+    ref = np.asarray(_xla_attention(q, k, v, valid), dtype=np.float32)
+    got = np.asarray(fused_mha(q, k, v, valid, interpret=True),
+                     dtype=np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.05)
