@@ -63,13 +63,25 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, K, body, jnp.int32(0))
 
-    jax.block_until_ready(run_k(model.params, batch, lens, pos))  # compile
+    # two distinct input buffers, alternated across dispatches: repeated
+    # identical dispatches can hit a degenerate result-reuse fast path on
+    # the remote-TPU plugin and report impossible numbers
+    batches = [batch, batch + jnp.float32(1e-6)]
+    jax.block_until_ready(batches)
+    # consume the scalar via a D2H read: the remote-TPU plugin's
+    # block_until_ready can return early on a degenerate fast path,
+    # producing physically impossible timings; a value read cannot
+    float(run_k(model.params, batches[0], lens, pos))
+    float(run_k(model.params, batches[1], lens, pos))
     window_medians = []
+    n = 0
     for _ in range(3):
         times = []
         for _ in range(5):
+            b_in = batches[n % 2]
+            n += 1
             t0 = time.perf_counter()
-            jax.block_until_ready(run_k(model.params, batch, lens, pos))
+            float(run_k(model.params, b_in, lens, pos))
             times.append((time.perf_counter() - t0) / K)
         window_medians.append(float(np.median(times)))
         time.sleep(0.5)

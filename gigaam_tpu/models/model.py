@@ -98,7 +98,43 @@ class GigaAM:
         if params is None:
             params = self.init_params(jax.random.PRNGKey(seed))
         self.params = params
+        self.mesh = None
         self._encode_jit = jax.jit(self._encode_impl)
+
+    def set_mesh(self, mesh) -> None:
+        """Enable data-parallel inference over a ("data", ...) Mesh.
+
+        Params are replicated across the mesh; every batch is sharded over
+        the "data" axis (rows padded to a multiple of the DP size).  This
+        is the multi-chip/multi-host longform inference path — the
+        reference has no inference distribution at all (chunk batches run
+        on one GPU, ``gigaam/model.py:219-233``).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        self.params = jax.device_put(
+            self.params, NamedSharding(mesh, P()))
+        self._data_sharding = NamedSharding(mesh, P("data"))
+
+    def _dp_pad(self, wavs: List[np.ndarray]) -> Tuple[List[np.ndarray], int]:
+        """Pad the batch row count to a multiple of the DP size."""
+        if self.mesh is None:
+            return wavs, 0
+        dsize = self.mesh.shape["data"]
+        pad = (-len(wavs)) % dsize
+        if pad:
+            filler = np.zeros(min(len(w) for w in wavs), dtype=np.float32)
+            wavs = list(wavs) + [filler] * pad
+        return wavs, pad
+
+    def _device_batch(self, batch: np.ndarray, lens: np.ndarray):
+        b = jnp.asarray(batch)
+        l = jnp.asarray(lens)
+        if self.mesh is not None:
+            b = jax.device_put(b, self._data_sharding)
+            l = jax.device_put(l, self._data_sharding)
+        return b, l
 
     def cast_encoder(self, dtype=jnp.bfloat16) -> None:
         """Cast encoder weights in place (reference ``fp16_encoder``:
@@ -151,10 +187,13 @@ class GigaAM:
         self, wavs: List[np.ndarray]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Waveforms -> (encoded [B, T', D], enc_lens [B])."""
+        n = len(wavs)
+        wavs, _ = self._dp_pad(wavs)
         batch, lens = pad_wav_batch(wavs)
         pos = self._pos_for(batch.shape[1])
-        return self._encode_jit(self.params, jnp.asarray(batch),
-                                jnp.asarray(lens), pos)
+        b, l = self._device_batch(batch, lens)
+        encoded, enc_lens = self._encode_jit(self.params, b, l, pos)
+        return encoded[:n], enc_lens[:n]
 
     def prepare_wav(self, wav_file: str) -> np.ndarray:
         return load_audio(wav_file)
@@ -199,21 +238,29 @@ class GigaAMASR(GigaAM):
     def _decode_batch(
         self, wavs: List[np.ndarray], word_timestamps: bool
     ) -> List[Tuple[str, Optional[List[Word]]]]:
-        """Batched transcribe core (reference ``model.py:96-124``)."""
+        """Batched transcribe core (reference ``model.py:96-124``).
+
+        Under ``set_mesh``, the batch is sharded across the mesh "data"
+        axis — the multi-chip longform path."""
+        n = len(wavs)
+        wavs, _ = self._dp_pad(wavs)
         batch, lens = pad_wav_batch(wavs)
         pos = self._pos_for(batch.shape[1])
+        dev_batch, dev_lens = self._device_batch(batch, lens)
         if isinstance(self.cfg.head, CTCHeadConfig):
             labels, keep, enc_lens = self._asr_fwd(
-                self.params, jnp.asarray(batch), jnp.asarray(lens), pos)
-            decoded = ctc_extract(np.asarray(labels), np.asarray(keep))
+                self.params, dev_batch, dev_lens, pos)
+            decoded = ctc_extract(np.asarray(labels)[:n],
+                                  np.asarray(keep)[:n])
         else:
             encoded, enc_lens = self._encode_jit(
-                self.params, jnp.asarray(batch), jnp.asarray(lens), pos)
+                self.params, dev_batch, dev_lens, pos)
             tokens, frames, counts = rnnt_greedy_decode(
                 self.params["head"], encoded, enc_lens,
                 max_symbols=self.cfg.decoding.max_symbols_per_step)
-            decoded = rnnt_extract(np.asarray(tokens), np.asarray(frames),
-                                   np.asarray(counts))
+            decoded = rnnt_extract(np.asarray(tokens)[:n],
+                                   np.asarray(frames)[:n],
+                                   np.asarray(counts)[:n])
 
         enc_lens_np = np.asarray(enc_lens)
         out: List[Tuple[str, Optional[List[Word]]]] = []

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Export a HuggingFace audio dataset to WAVs + a TSV manifest.
+
+Mirror of the reference's ToneBooks exporter
+(``train_utils/utils.py:80-113``): downloads a dataset split, writes 16 kHz
+mono WAVs, and emits the ``path\\tduration\\ttranscription`` manifest that
+``gigaam_tpu.data.AudioDataset`` consumes.
+
+Requires the ``datasets`` package (not part of the core runtime).
+
+Usage:
+  python tools/export_hf_dataset.py --dataset voxblink/ToneBooks \\
+      --split train --audio-column audio --text-column text \\
+      --out data/tonebooks
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--split", default="train")
+    ap.add_argument("--audio-column", default="audio")
+    ap.add_argument("--text-column", default="text")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--limit", type=int, default=0)
+    args = ap.parse_args()
+
+    try:
+        from datasets import Audio, load_dataset
+    except ImportError:
+        raise SystemExit(
+            "The 'datasets' package is required: pip install datasets")
+
+    from gigaam_tpu.audio import save_wav
+    from gigaam_tpu.config import SAMPLE_RATE
+    from gigaam_tpu.data import write_manifest
+
+    os.makedirs(os.path.join(args.out, "wavs"), exist_ok=True)
+    ds = load_dataset(args.dataset, args.config, split=args.split)
+    ds = ds.cast_column(args.audio_column, Audio(sampling_rate=SAMPLE_RATE))
+    if args.limit:
+        ds = ds.select(range(min(args.limit, len(ds))))
+
+    def export(i):
+        row = ds[i]
+        wav = np.asarray(row[args.audio_column]["array"], dtype=np.float32)
+        path = os.path.join(args.out, "wavs", f"{i:07d}.wav")
+        save_wav(path, wav)
+        return (path, len(wav) / SAMPLE_RATE, str(row[args.text_column]))
+
+    with ThreadPoolExecutor(max_workers=args.workers) as ex:
+        rows = list(ex.map(export, range(len(ds))))
+
+    manifest = os.path.join(args.out, "manifest.tsv")
+    write_manifest(manifest, rows)
+    hours = sum(r[1] for r in rows) / 3600
+    print(f"exported {len(rows)} samples ({hours:.2f} h) -> {manifest}")
+
+
+if __name__ == "__main__":
+    main()
