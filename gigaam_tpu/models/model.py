@@ -171,10 +171,17 @@ class GigaAM:
         return encoded, enc_lens
 
     def _pos_for_tfeat(self, t_feat: int):
-        t_sub = int(
-            subsampled_length(jnp.asarray([t_feat]),
-                              self.cfg.encoder.num_subsampling_stages,
-                              self.cfg.encoder.subs_kernel_size)[0])
+        # pure-Python mirror of ops.conformer_ops.subsampled_length: this
+        # must stay traceable-free so callers inside jit traces (where jnp
+        # constants become tracers) can use it with static shapes
+        import math
+
+        k = self.cfg.encoder.subs_kernel_size
+        add_pad = 2 * ((k - 1) // 2) - k
+        t_sub = float(t_feat)
+        for _ in range(self.cfg.encoder.num_subsampling_stages):
+            t_sub = math.floor((t_sub + add_pad) / 2 + 1.0)
+        t_sub = int(t_sub)
         if self.cfg.encoder.self_attention_model == "rotary":
             return self.pos_tables.rotary(t_sub)
         return self.pos_tables.relpos(t_sub)
