@@ -35,6 +35,7 @@ from .models.model import (
     model_class_for,
     save_model,
 )
+from .models.vad_net import load_vad_regions_fn
 from .types import (
     LongformTranscriptionResult,
     Segment,
@@ -58,6 +59,7 @@ __all__ = [
     "Word",
     "SAMPLE_RATE",
     "RU_VOCAB",
+    "load_vad_regions_fn",
 ]
 
 _CACHE_DIR = os.path.expanduser("~/.cache/gigaam_tpu")

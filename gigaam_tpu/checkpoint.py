@@ -404,3 +404,144 @@ def apply_finetuned_state_dict(cfg: ModelConfig, path: str) -> Dict[str, Any]:
         if k.startswith(("preprocessor.", "encoder.", "head."))
     })
     return convert_state_dict(sd, cfg)
+
+
+# ---------------------------------------------------------------------------
+# pyannote segmentation (neural VAD) conversion
+# ---------------------------------------------------------------------------
+
+def _sinc_taps_fallback(low_hz_: np.ndarray, band_hz_: np.ndarray,
+                        kernel_size: int, sample_rate: int = 16000,
+                        min_low_hz: float = 50.0,
+                        min_band_hz: float = 50.0) -> np.ndarray:
+    """Materialise asteroid ``ParamSincFB`` FIR taps from its parameters.
+
+    Used when asteroid-filterbanks is not importable at conversion time.
+    The filterbank is the SincNet band-pass bank plus its Hilbert (sine)
+    pair: ``n_filters = 2 * len(low_hz_)``; Hamming half-window.
+    Returns [n_filters, kernel_size].
+    """
+    low = min_low_hz + np.abs(low_hz_.reshape(-1, 1))
+    high = np.clip(low + min_band_hz + np.abs(band_hz_.reshape(-1, 1)),
+                   min_low_hz, sample_rate / 2)
+    band = (high - low)[:, 0]
+
+    half = int(kernel_size / 2)
+    n_lin = np.linspace(0, kernel_size / 2 - 1, num=half)
+    window = 0.54 - 0.46 * np.cos(2 * np.pi * n_lin / kernel_size)
+    n_ = (2 * np.pi
+          * np.arange(-(kernel_size - 1) / 2.0, 0).reshape(1, -1)
+          / sample_rate)
+
+    ft_low = low @ n_
+    ft_high = high @ n_
+
+    cos_left = ((np.sin(ft_high) - np.sin(ft_low)) / (n_ / 2)) * window
+    cos_center = 2 * band.reshape(-1, 1)
+    cos_right = cos_left[:, ::-1]
+    cos_f = np.concatenate([cos_left, cos_center, cos_right], axis=1)
+
+    sin_left = ((np.cos(ft_low) - np.cos(ft_high)) / (n_ / 2)) * window
+    sin_center = np.zeros_like(cos_center)
+    sin_right = -sin_left[:, ::-1]
+    sin_f = np.concatenate([sin_left, sin_center, sin_right], axis=1)
+
+    taps = np.concatenate([cos_f, sin_f], axis=0)
+    norm = 2 * np.concatenate([band, band]).reshape(-1, 1)
+    return (taps / norm).astype(np.float32)
+
+
+def _materialize_sinc_taps(sd: Dict[str, np.ndarray],
+                           kernel_size: int,
+                           sample_rate: int) -> np.ndarray:
+    """[n_filters, kernel] taps from ``low_hz_``/``band_hz_`` parameters."""
+    low = sd["sincnet.conv1d.0.filterbank.low_hz_"]
+    band = sd["sincnet.conv1d.0.filterbank.band_hz_"]
+    try:  # exact: run the real filterbank construction if it is installed
+        import torch
+        from asteroid_filterbanks import ParamSincFB
+
+        fb = ParamSincFB(2 * low.shape[0], kernel_size, stride=1,
+                         sample_rate=sample_rate)
+        with torch.no_grad():
+            fb.low_hz_.copy_(torch.from_numpy(low.reshape(-1, 1)))
+            fb.band_hz_.copy_(torch.from_numpy(band.reshape(-1, 1)))
+            return fb.filters().squeeze(1).numpy().astype(np.float32)
+    except ImportError:
+        return _sinc_taps_fallback(low, band, kernel_size, sample_rate)
+
+
+def convert_pyannote_vad(path: str, kernel_size: int = 251):
+    """Convert a pyannote ``segmentation-3.0`` checkpoint (PyanNet) into
+    (VADNetConfig, params) for ``gigaam_tpu.models.vad_net``.
+
+    Replaces the reference's runtime pyannote dependency
+    (``gigaam/vad_utils.py:41-77``): conversion is one-time and host-side;
+    the sinc filterbank is baked to plain FIR taps (inference-constant).
+    Accepts a raw state_dict, a Lightning ckpt, or a ``pytorch_model.bin``.
+    """
+    from .models.vad_net import VADNetConfig
+
+    ckpt = load_torch_checkpoint(path)
+    sd_raw = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = state_dict_to_numpy(
+        {k[len("model."):] if k.startswith("model.") else k: v
+         for k, v in sd_raw.items() if hasattr(v, "detach")})
+
+    n_filters = 2 * sd["sincnet.conv1d.0.filterbank.low_hz_"].shape[0]
+    kernel = kernel_size
+    conv_keys = sorted(k for k in sd if k.startswith("sincnet.conv1d.")
+                       and k.endswith(".weight"))
+    n_conv_blocks = len(conv_keys)
+    lstm_layers = len({k.split("weight_ih_l")[1].split("_reverse")[0]
+                       for k in sd if "weight_ih_l" in k})
+    lin_keys = sorted(k for k in sd
+                      if k.startswith("linear.") and k.endswith(".weight"))
+    h = sd["lstm.weight_hh_l0"].shape[1]
+
+    cfg = VADNetConfig(
+        sinc_filters=n_filters,
+        sinc_kernel=kernel,
+        conv_channels=sd[conv_keys[0]].shape[0] if conv_keys else 60,
+        conv_kernel=sd[conv_keys[0]].shape[2] if conv_keys else 5,
+        n_conv_blocks=n_conv_blocks,
+        lstm_hidden=h,
+        lstm_layers=lstm_layers,
+        linear_hidden=(sd[lin_keys[0]].shape[0]
+                       if lin_keys else 128),
+        linear_layers=len(lin_keys),
+        n_classes=sd["classifier.weight"].shape[0],
+    )
+
+    taps = _materialize_sinc_taps(sd, kernel, cfg.sample_rate)
+
+    def lstm_dir(li: int, suffix: str) -> Dict[str, np.ndarray]:
+        return {
+            "w_ih": sd[f"lstm.weight_ih_l{li}{suffix}"].T,
+            "w_hh": sd[f"lstm.weight_hh_l{li}{suffix}"].T,
+            "b": (sd[f"lstm.bias_ih_l{li}{suffix}"]
+                  + sd[f"lstm.bias_hh_l{li}{suffix}"]),
+        }
+
+    params = {
+        "wav_norm": {"w": sd["sincnet.wav_norm1d.weight"],
+                     "b": sd["sincnet.wav_norm1d.bias"]},
+        "sinc": {"taps": taps.T[:, None, :]},          # [K, 1, F]
+        "norms": [{"w": sd[f"sincnet.norm1d.{i}.weight"],
+                   "b": sd[f"sincnet.norm1d.{i}.bias"]}
+                  for i in range(n_conv_blocks + 1)],
+        # torch conv weight [out, in, k] -> ours [k, in, out]
+        "convs": [{"w": sd[f"sincnet.conv1d.{i + 1}.weight"]
+                   .transpose(2, 1, 0),
+                   "b": sd[f"sincnet.conv1d.{i + 1}.bias"]}
+                  for i in range(n_conv_blocks)],
+        "lstm": [{"fwd": lstm_dir(li, ""),
+                  "bwd": lstm_dir(li, "_reverse")}
+                 for li in range(lstm_layers)],
+        "linear": [{"w": sd[f"linear.{i}.weight"].T,
+                    "b": sd[f"linear.{i}.bias"]}
+                   for i in range(len(lin_keys))],
+        "classifier": {"w": sd["classifier.weight"].T,
+                       "b": sd["classifier.bias"]},
+    }
+    return cfg, params

@@ -1,0 +1,224 @@
+"""Neural VAD (PyanNet-style) tests.
+
+Numerics are pinned against a from-scratch torch re-implementation of the
+pyannote PyanNet forward (``gigaam/vad_utils.py:41-77`` loads the real one);
+weights travel through ``convert_pyannote_vad`` using pyannote's state_dict
+naming, so the converter's layout mapping is exercised end to end.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gigaam_tpu.checkpoint import _sinc_taps_fallback, convert_pyannote_vad
+from gigaam_tpu.models.vad_net import (
+    VADNetConfig,
+    frame_logits,
+    init_vad_params,
+    make_speech_regions_fn,
+    sliding_class_probs,
+    speech_regions,
+)
+
+torch = pytest.importorskip("torch")
+
+SR = 16000
+
+# small-but-structurally-faithful net for the torch cross-check
+TINY = VADNetConfig(
+    sinc_filters=8, sinc_kernel=31, sinc_stride=10,
+    conv_channels=6, conv_kernel=5, n_conv_blocks=2, pool=3,
+    lstm_hidden=8, lstm_layers=2, linear_hidden=8, linear_layers=2,
+    n_classes=7, window_s=0.5, step_s=0.25)
+
+
+def _torch_state_dict(cfg: VADNetConfig, seed: int = 0):
+    """Random weights under pyannote's state_dict names."""
+    g = torch.Generator().manual_seed(seed)
+
+    def r(*shape, scale=0.3):
+        return torch.randn(*shape, generator=g) * scale
+
+    sd = {
+        "sincnet.wav_norm1d.weight": r(1) + 1.0,
+        "sincnet.wav_norm1d.bias": r(1),
+        "sincnet.conv1d.0.filterbank.low_hz_": r(cfg.sinc_filters // 2, 1,
+                                                 scale=200.0).abs() + 30.0,
+        "sincnet.conv1d.0.filterbank.band_hz_": r(cfg.sinc_filters // 2, 1,
+                                                  scale=200.0).abs() + 30.0,
+    }
+    c = cfg.conv_channels
+    for i in range(cfg.n_conv_blocks):
+        cin = cfg.sinc_filters if i == 0 else c
+        sd[f"sincnet.conv1d.{i + 1}.weight"] = r(c, cin, cfg.conv_kernel)
+        sd[f"sincnet.conv1d.{i + 1}.bias"] = r(c)
+    for i in range(cfg.n_conv_blocks + 1):
+        ch = cfg.sinc_filters if i == 0 else c
+        sd[f"sincnet.norm1d.{i}.weight"] = r(ch) + 1.0
+        sd[f"sincnet.norm1d.{i}.bias"] = r(ch)
+    h = cfg.lstm_hidden
+    for li in range(cfg.lstm_layers):
+        d_in = c if li == 0 else 2 * h
+        for suf in ("", "_reverse"):
+            sd[f"lstm.weight_ih_l{li}{suf}"] = r(4 * h, d_in)
+            sd[f"lstm.weight_hh_l{li}{suf}"] = r(4 * h, h)
+            sd[f"lstm.bias_ih_l{li}{suf}"] = r(4 * h)
+            sd[f"lstm.bias_hh_l{li}{suf}"] = r(4 * h)
+    d = 2 * h
+    for i in range(cfg.linear_layers):
+        sd[f"linear.{i}.weight"] = r(cfg.linear_hidden, d)
+        sd[f"linear.{i}.bias"] = r(cfg.linear_hidden)
+        d = cfg.linear_hidden
+    sd["classifier.weight"] = r(cfg.n_classes, d)
+    sd["classifier.bias"] = r(cfg.n_classes)
+    return sd
+
+
+def _torch_pyannet_forward(sd, cfg: VADNetConfig, wav: np.ndarray,
+                           taps: np.ndarray):
+    """PyanNet forward in plain torch ops (sinc stage = given FIR taps)."""
+    import torch.nn.functional as F
+
+    x = torch.from_numpy(wav)[None, None, :]  # [1, 1, T]
+    x = F.instance_norm(
+        x, weight=sd["sincnet.wav_norm1d.weight"],
+        bias=sd["sincnet.wav_norm1d.bias"], use_input_stats=True)
+    x = F.conv1d(x, torch.from_numpy(taps)[:, None, :],
+                 stride=cfg.sinc_stride)
+    x = torch.abs(x)
+    for i in range(cfg.n_conv_blocks + 1):
+        if i > 0:
+            x = F.conv1d(x, sd[f"sincnet.conv1d.{i}.weight"],
+                         sd[f"sincnet.conv1d.{i}.bias"])
+        x = F.max_pool1d(x, cfg.pool)
+        x = F.instance_norm(
+            x, weight=sd[f"sincnet.norm1d.{i}.weight"],
+            bias=sd[f"sincnet.norm1d.{i}.bias"], use_input_stats=True)
+        x = F.leaky_relu(x)
+    x = x.transpose(1, 2)  # [1, T, C]
+    lstm = torch.nn.LSTM(cfg.conv_channels, cfg.lstm_hidden,
+                         num_layers=cfg.lstm_layers, batch_first=True,
+                         bidirectional=True)
+    lstm_sd = {k[len("lstm."):]: v for k, v in sd.items()
+               if k.startswith("lstm.")}
+    lstm.load_state_dict(lstm_sd)
+    with torch.no_grad():
+        x, _ = lstm(x)
+        for i in range(cfg.linear_layers):
+            x = F.leaky_relu(F.linear(x, sd[f"linear.{i}.weight"],
+                                      sd[f"linear.{i}.bias"]))
+        x = F.linear(x, sd["classifier.weight"], sd["classifier.bias"])
+        return F.log_softmax(x, dim=-1).numpy()
+
+
+def test_frame_logits_matches_torch_pyannet(tmp_path):
+    sd = _torch_state_dict(TINY)
+    ckpt = tmp_path / "pyannote_vad.bin"
+    torch.save({"state_dict": sd}, ckpt)
+
+    cfg, params = convert_pyannote_vad(str(ckpt), kernel_size=TINY.sinc_kernel)
+    assert cfg.sinc_filters == TINY.sinc_filters
+    assert cfg.lstm_layers == TINY.lstm_layers
+    assert cfg.n_conv_blocks == TINY.n_conv_blocks
+
+    rng = np.random.default_rng(0)
+    wav = (0.1 * rng.standard_normal(SR // 2)).astype(np.float32)
+
+    taps = np.asarray(params["sinc"]["taps"])[:, 0, :].T  # [F, K]
+    ref = _torch_pyannet_forward(sd, TINY, wav, taps)
+    ours = np.asarray(frame_logits(params, wav[None, :], cfg))
+
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_sinc_taps_properties():
+    low = np.array([200.0, 1000.0, 3000.0])
+    band = np.array([100.0, 300.0, 500.0])
+    taps = _sinc_taps_fallback(low, band, kernel_size=251)
+    assert taps.shape == (6, 251)
+    # sine (Hilbert-pair) filters are antisymmetric -> exactly zero DC gain
+    np.testing.assert_allclose(taps[3:].sum(axis=1), 0.0, atol=1e-5)
+    # band-pass: response peaks inside the band, DC well below the peak
+    freqs = np.fft.rfftfreq(2048, 1 / SR)
+    resp = np.abs(np.fft.rfft(taps[:3], n=2048, axis=1))
+    peak_f = freqs[resp.argmax(axis=1)]
+    lo = 50.0 + np.abs(low)
+    hi = lo + 50.0 + np.abs(band)
+    assert np.all(peak_f >= lo * 0.5) and np.all(peak_f <= hi * 1.5)
+    assert np.all(resp[:, 0] < 0.2 * resp.max(axis=1))
+
+
+def test_receptive_field_matches_frame_count():
+    cfg = VADNetConfig()
+    rf_k, rf_s = cfg.receptive_field()
+    assert (rf_k, rf_s) == (991, 270)  # seg-3.0 geometry: ~59.3 fps
+    params = init_vad_params(jax.random.PRNGKey(0), TINY)
+    for n in (SR // 2, SR // 2 + 137):
+        out = frame_logits(params, np.zeros((1, n), np.float32), TINY)
+        assert out.shape[1] == TINY.num_frames(n)
+
+
+def test_sliding_matches_direct_on_single_window():
+    params = init_vad_params(jax.random.PRNGKey(1), TINY)
+    rng = np.random.default_rng(1)
+    wav = (0.1 * rng.standard_normal(int(TINY.window_s * SR))).astype(
+        np.float32)
+    probs, times = sliding_class_probs(params, TINY, wav)
+    direct = np.exp(np.asarray(frame_logits(params, wav[None, :], TINY)))[0]
+    np.testing.assert_allclose(probs, direct, atol=1e-5)
+    rf_k, rf_s = TINY.receptive_field()
+    np.testing.assert_allclose(times[0], rf_k / 2 / SR, atol=1e-6)
+    np.testing.assert_allclose(np.diff(times), rf_s / SR, atol=1e-6)
+
+
+def test_sliding_overlap_average_long_wav():
+    params = init_vad_params(jax.random.PRNGKey(2), TINY)
+    rng = np.random.default_rng(2)
+    wav = (0.1 * rng.standard_normal(3 * SR)).astype(np.float32)
+    probs, times = sliding_class_probs(params, TINY, wav)
+    assert probs.shape[1] == TINY.n_classes
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+    assert times[-1] >= 3.0 - 2 * TINY.window_s
+
+
+def test_speech_regions_and_segmenter_integration(tmp_path):
+    """Regions come out ordered/clipped, and plug into segment_audio_file."""
+    import wave
+
+    from gigaam_tpu.vad import segment_audio_file
+
+    params = init_vad_params(jax.random.PRNGKey(3), TINY)
+    rng = np.random.default_rng(3)
+    wav = (0.1 * rng.standard_normal(2 * SR)).astype(np.float32)
+
+    regions = speech_regions(params, TINY, wav)
+    for s, e in regions:
+        assert 0.0 <= s < e <= 2.0 + 1e-6
+    assert regions == sorted(regions)
+
+    path = tmp_path / "x.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes((wav * 32767).astype(np.int16).tobytes())
+    segs, bounds = segment_audio_file(
+        str(path), speech_regions_fn=make_speech_regions_fn(params, TINY))
+    assert len(segs) == len(bounds)
+    for seg, (s, e) in zip(segs, bounds):
+        assert abs(len(seg) / SR - (e - s)) < 0.01
+
+
+def test_min_duration_post_processing():
+    params = init_vad_params(jax.random.PRNGKey(4), TINY)
+    rng = np.random.default_rng(4)
+    wav = (0.1 * rng.standard_normal(SR)).astype(np.float32)
+    base = speech_regions(params, TINY, wav)
+    merged = speech_regions(params, TINY, wav, min_duration_off=10.0)
+    if base:
+        assert len(merged) == 1
+        assert merged[0][0] == base[0][0] and merged[0][1] == base[-1][1]
+    filt = speech_regions(params, TINY, wav, min_duration_on=10.0)
+    assert filt == []
