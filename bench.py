@@ -51,7 +51,7 @@ def main() -> None:
     # costs tens of ms per host round trip, which would dominate a
     # per-call measurement.  Each iteration perturbs the input (data
     # dependency on the loop counter) so XLA cannot CSE the body.
-    K = 10
+    K = 40
 
     @jax.jit
     def run_k(params, wavs_in, lens_in, pos_in):
