@@ -1,0 +1,87 @@
+"""HTTP client for the batching ASR server (``gigaam_tpu.serve``).
+
+The analogue of the reference's Triton client
+(``triton_scripts/run_client.py:11-98``): load audio files host-side, send
+them to the server, collect transcription texts.  Requests are issued
+concurrently so the server's dynamic batcher can actually form batches —
+the reference achieves the same by sending one flattened multi-wav batch.
+
+Usage:
+    python -m gigaam_tpu.client file1.wav file2.wav --url http://host:8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as cf
+import json
+import urllib.request
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .audio import load_audio
+
+
+def transcribe_one(
+    url: str,
+    wav: np.ndarray,
+    timestamps: bool = False,
+    timeout: float = 120.0,
+) -> Dict:
+    """POST one utterance (float32 @ 16 kHz) -> response dict."""
+    endpoint = f"{url.rstrip('/')}/transcribe"
+    if timestamps:
+        endpoint += "?timestamps=1"
+    body = json.dumps({"audio": np.asarray(wav, np.float32).tolist()}).encode()
+    req = urllib.request.Request(
+        endpoint, data=body, headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+def transcribe_files(
+    url: str,
+    files: Sequence[str],
+    timestamps: bool = False,
+    concurrency: int = 8,
+    timeout: float = 120.0,
+) -> List[Dict]:
+    """Transcribe audio files against a running server; order-preserving."""
+    wavs = [load_audio(f) for f in files]
+    with cf.ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+        futs = [pool.submit(transcribe_one, url, w, timestamps, timeout)
+                for w in wavs]
+        return [f.result() for f in futs]
+
+
+def health(url: str, timeout: float = 10.0) -> Optional[Dict]:
+    try:
+        with urllib.request.urlopen(f"{url.rstrip('/')}/health",
+                                    timeout=timeout) as resp:
+            return json.loads(resp.read())
+    except Exception:
+        return None
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description="GigaAM-TPU ASR HTTP client")
+    ap.add_argument("files", nargs="+", help="audio files to transcribe")
+    ap.add_argument("--url", default="http://127.0.0.1:8000")
+    ap.add_argument("--timestamps", action="store_true")
+    ap.add_argument("--concurrency", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    status = health(args.url)
+    if status is None:
+        raise SystemExit(f"server at {args.url} is not reachable")
+    print(f"server ok, model: {status.get('model')}")
+
+    results = transcribe_files(args.url, args.files, args.timestamps,
+                               args.concurrency)
+    for path, res in zip(args.files, results):
+        print(json.dumps({"file": path, **res}, ensure_ascii=False))
+
+
+if __name__ == "__main__":
+    main()

@@ -214,6 +214,18 @@ class GigaAM:
         wav = self.prepare_wav(wav_file)
         return self.encode_batch([wav])
 
+    def to_exported(self, out_dir: str, **kw):
+        """Serialize this model's serving graphs (StableHLO) to ``out_dir``.
+
+        Convenience analogue of the reference's ``model.to_onnx``
+        (``gigaam/model.py:65-71``); see ``gigaam_tpu.export.export_model``
+        for bucket options and ``gigaam_tpu.exported_infer`` for running
+        inference off the artifacts alone.
+        """
+        from ..export import export_model
+
+        return export_model(self, out_dir, **kw)
+
 
 class GigaAMASR(GigaAM):
     """ASR model with CTC or RNNT head (reference ``gigaam/model.py:86-259``)."""

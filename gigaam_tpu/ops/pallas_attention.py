@@ -51,7 +51,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [blk_q, T]
-    s = jnp.where(mask != 0, s, NEG_INF)
+    # Arithmetic masking (mask in {0,1}: +0 valid, NEG_INF invalid) instead
+    # of a boolean select: broadcasting a [1, T] i1 vector trips a Mosaic
+    # relayout error when T is not a multiple of the 128-lane tile.
+    s = s + (mask.astype(jnp.float32) - 1.0) * (-NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)

@@ -153,3 +153,65 @@ def test_server_error_paths(http_server):
     assert status == 400 and "longform" in out["error"]
     status, out = _post_json(http_server, {"wrong_key": 1})
     assert status == 400
+
+
+# -- artifact-only inference (reference infer_onnx analogue) ----------------
+
+
+@pytest.mark.parametrize("kind", ["ctc", "rnnt"])
+def test_infer_exported_matches_live(tmp_path, kind, ctc_model, rnnt_model):
+    """Transcripts produced from the serialized artifacts alone must equal
+    the live model's (reference ``tests/test_onnx.py`` exact-equality
+    contract)."""
+    from gigaam_tpu.exported_infer import infer_exported
+
+    model = ctc_model if kind == "ctc" else rnnt_model
+    out = str(tmp_path / f"export_{kind}")
+    export_model(model, out, batch_sizes=(4,), audio_seconds=(1,))
+
+    rng = np.random.default_rng(2)
+    wavs = [(0.1 * rng.standard_normal(16000 - 1000 * i)).astype(np.float32)
+            for i in range(3)]
+    live = [t for t, _ in model._decode_batch(wavs, word_timestamps=False)]
+    got = infer_exported(out, wavs, batch_size=4)["hypotheses"]
+    assert got == live
+
+
+def test_infer_exported_wer_and_buckets(tmp_path, ctc_model):
+    from gigaam_tpu.exported_infer import infer_exported
+
+    out = str(tmp_path / "export_wer")
+    export_model(ctc_model, out, batch_sizes=(2,), audio_seconds=(1,))
+    rng = np.random.default_rng(3)
+    wavs = [(0.1 * rng.standard_normal(8000)).astype(np.float32)
+            for _ in range(2)]
+    hyps = infer_exported(out, wavs)["hypotheses"]
+    res = infer_exported(out, wavs, refs=hyps)
+    assert res["wer_e2e"] == 0.0
+
+    # a batch bigger than any exported bucket must fail loudly, not truncate
+    with pytest.raises(ValueError):
+        infer_exported(out, wavs * 2, batch_size=4)
+
+
+# -- HTTP client (reference run_client.py analogue) --------------------------
+
+
+def test_client_transcribe_files(tmp_path, http_server):
+    from gigaam_tpu.audio import save_wav
+    from gigaam_tpu.client import health, transcribe_files
+
+    assert health(http_server)["status"] == "ok"
+
+    rng = np.random.default_rng(4)
+    files = []
+    for i in range(3):
+        p = str(tmp_path / f"utt{i}.wav")
+        save_wav(p, (0.1 * rng.standard_normal(16000)).astype(np.float32))
+        files.append(p)
+
+    results = transcribe_files(http_server, files, concurrency=3)
+    assert len(results) == 3 and all("text" in r for r in results)
+
+    with_ts = transcribe_files(http_server, files[:1], timestamps=True)
+    assert "words" in with_ts[0]
