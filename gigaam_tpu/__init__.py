@@ -64,13 +64,91 @@ __all__ = [
 
 _CACHE_DIR = os.path.expanduser("~/.cache/gigaam_tpu")
 
-_KNOWN_MODELS = [
-    "v1_ssl", "v1_ctc", "v1_rnnt",
-    "v2_ssl", "v2_ctc", "v2_rnnt",
-    "v3_ssl", "v3_ctc", "v3_rnnt",
-    "v3_e2e_ctc", "v3_e2e_rnnt", "emo",
-    "ctc", "rnnt", "ssl", "e2e_ctc", "e2e_rnnt",
-]
+# Upstream checkpoint CDN and md5 pins (interop data; reference
+# ``gigaam/__init__.py:26-41``).  The .ckpt files downloaded from here are
+# the *reference torch* checkpoints: they are converted to native artifacts
+# on first load and the converted .npz/.json pair is what gets cached.
+_URL_DIR = "https://cdn.chatwm.opensmodel.sberdevices.ru/GigaAM"
+_MODEL_HASHES = {
+    "emo": "7ce76f9535cb254488985057c0d33006",
+    "v1_ctc": "f027f199e590a391d015aeede2e66174",
+    "v1_rnnt": "02c758999bcdc6afcb2087ef256d47ef",
+    "v1_ssl": "dc7f7b231f7f91c4968dc21910e7b396",
+    "v2_ctc": "e00f59cb5d39624fb30d1786044795bf",
+    "v2_rnnt": "547460139acfebd842323f59ed54ab54",
+    "v2_ssl": "cd4cf819c8191a07b9d7edcad111668e",
+    "v3_ctc": "73413e7be9c6a5935827bfab5c0dd678",
+    "v3_rnnt": "0fd2c9a1ff66abd8d32a3a07f7592815",
+    "v3_e2e_ctc": "367074d6498f426d960b25f49531cf68",
+    "v3_e2e_rnnt": "2730de7545ac43ad256485a462b0a27a",
+    "v3_ssl": "70cbf5ed7303a0ed242ddb257e9dc6a6",
+}
+
+_SHORT_NAMES = ["ctc", "rnnt", "e2e_ctc", "e2e_rnnt", "ssl"]
+
+_KNOWN_MODELS = list(_MODEL_HASHES) + _SHORT_NAMES
+
+
+def hash_path(path: str) -> str:
+    """md5 of a file (reference ``gigaam/__init__.py:95-97``)."""
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _download_file(file_url: str, file_path: str) -> str:
+    """Stream a URL to ``file_path`` unless already present
+    (reference ``gigaam/__init__.py:44-66``).  Atomic: downloads to a
+    ``.part`` file and renames, so an interrupted fetch never poisons the
+    cache."""
+    import sys
+    import urllib.request
+
+    if os.path.exists(file_path):
+        return file_path
+    os.makedirs(os.path.dirname(file_path) or ".", exist_ok=True)
+    tmp = file_path + ".part"
+    with urllib.request.urlopen(file_url) as src, open(tmp, "wb") as out:
+        total = int(src.info().get("Content-Length", 0) or 0)
+        done = 0
+        while True:
+            buf = src.read(1 << 20)
+            if not buf:
+                break
+            out.write(buf)
+            done += len(buf)
+            if total and sys.stderr.isatty():
+                sys.stderr.write(
+                    f"\r{os.path.basename(file_path)}: "
+                    f"{done / 1e6:.1f}/{total / 1e6:.1f} MB")
+        if total and sys.stderr.isatty():
+            sys.stderr.write("\n")
+    os.replace(tmp, file_path)
+    return file_path
+
+
+def _download_model(model_name: str, download_root: str):
+    """Fetch the reference .ckpt by name; returns (resolved_name, path)
+    (reference ``gigaam/__init__.py:69-82``)."""
+    if model_name in _SHORT_NAMES:
+        model_name = f"v3_{model_name}"
+    path = _download_file(f"{_URL_DIR}/{model_name}.ckpt",
+                          os.path.join(download_root, model_name + ".ckpt"))
+    return model_name, path
+
+
+def _download_tokenizer(model_name: str, download_root: str) -> Optional[str]:
+    """Fetch the sentencepiece tokenizer for models that need one
+    (reference ``gigaam/__init__.py:85-92``)."""
+    if model_name != "v1_rnnt" and "e2e" not in model_name:
+        return None
+    return _download_file(
+        f"{_URL_DIR}/{model_name}_tokenizer.model",
+        os.path.join(download_root, model_name + "_tokenizer.model"))
 
 
 def load_model(
@@ -120,7 +198,8 @@ def load_model(
         raise ValueError(
             f"Model '{model_name}' not found. Available: {_KNOWN_MODELS}")
 
-    cached = os.path.join(root, f"{model_name}.npz")
+    resolved = f"v3_{model_name}" if model_name in _SHORT_NAMES else model_name
+    cached = os.path.join(root, f"{resolved}.npz")
     if os.path.isfile(cached):
         return _finalize(load_native(cached, **kw))
 
@@ -128,8 +207,31 @@ def load_model(
         cfg = make_preset(model_name)
         return _finalize(model_class_for(cfg)(cfg, seed=seed, **kw))
 
-    raise FileNotFoundError(
-        f"No converted weights for '{model_name}' under {root}. Convert a "
-        f"reference checkpoint with tools/convert_checkpoint.py, or pass "
-        f"init='random' for an untrained model."
-    )
+    # Download the reference torch checkpoint, verify, convert once, and
+    # cache the native artifact (reference ``gigaam/__init__.py:158-192``;
+    # conversion replaces its in-process hydra instantiation).
+    try:
+        resolved, ckpt_path = _download_model(model_name, root)
+        tok_path = _download_tokenizer(resolved, root)
+    except Exception as e:  # no network, bad proxy, CDN down …
+        raise FileNotFoundError(
+            f"No converted weights for '{model_name}' under {root} and the "
+            f"checkpoint download failed ({e}). Convert a reference "
+            f"checkpoint offline with tools/convert_checkpoint.py, or pass "
+            f"init='random' for an untrained model.") from e
+
+    expected = _MODEL_HASHES.get(resolved)
+    if expected is not None and hash_path(ckpt_path) != expected:
+        raise RuntimeError(
+            f"Checksum mismatch for {ckpt_path}; the download may be "
+            f"corrupted. Delete the file and retry "
+            f"(reference contract: gigaam/__init__.py:161-163).")
+
+    from .checkpoint import convert_reference_checkpoint
+
+    cfg, params = convert_reference_checkpoint(ckpt_path, resolved)
+    if tok_path and cfg.decoding is not None:
+        cfg.decoding.model_path = tok_path
+    model = model_class_for(cfg)(cfg, params=params, **kw)
+    save_model(model, os.path.join(root, resolved))
+    return _finalize(model)

@@ -165,3 +165,47 @@ def test_lstm_bias_summed():
     np.testing.assert_allclose(
         np.asarray(params["head"]["decoder"]["lstm"][0]["b"]), path_bias,
         atol=1e-6)
+
+
+def test_load_model_downloads_verifies_and_caches(tmp_path, monkeypatch):
+    """load_model("v3_ctc") with no cache: fetch the reference .ckpt from the
+    registry URL, md5-verify, convert, cache the native artifact, and load it
+    from cache on the second call (reference ``gigaam/__init__.py:110-192``).
+    Served from a file:// URL so the test needs no network."""
+    import gigaam_tpu
+
+    cdn = tmp_path / "cdn"
+    cdn.mkdir()
+    ckpt = str(cdn / "v3_ctc.ckpt")
+    torch.save({"cfg": _ref_cfg_dict("ctc"), "state_dict": _ref_state_dict("ctc")},
+               ckpt)
+    monkeypatch.setattr(gigaam_tpu, "_URL_DIR", f"file://{cdn}")
+    monkeypatch.setattr(
+        gigaam_tpu, "_MODEL_HASHES",
+        {**gigaam_tpu._MODEL_HASHES, "v3_ctc": gigaam_tpu.hash_path(ckpt)})
+
+    root = str(tmp_path / "cache")
+    model = gigaam_tpu.load_model("ctc", download_root=root,
+                                  compute_dtype=jnp.float32)
+    assert isinstance(model, GigaAMASR)
+    # converted artifact cached under the resolved (long) name
+    assert (tmp_path / "cache" / "v3_ctc.npz").exists()
+    assert (tmp_path / "cache" / "v3_ctc.json").exists()
+
+    # second load must come from the converted cache, not the CDN
+    monkeypatch.setattr(gigaam_tpu, "_URL_DIR", "file:///nonexistent")
+    again = gigaam_tpu.load_model("v3_ctc", download_root=root,
+                                  compute_dtype=jnp.float32)
+    assert isinstance(again, GigaAMASR)
+
+
+def test_load_model_checksum_mismatch(tmp_path, monkeypatch):
+    import gigaam_tpu
+
+    cdn = tmp_path / "cdn"
+    cdn.mkdir()
+    torch.save({"cfg": _ref_cfg_dict("ctc"), "state_dict": _ref_state_dict("ctc")},
+               str(cdn / "v3_ctc.ckpt"))
+    monkeypatch.setattr(gigaam_tpu, "_URL_DIR", f"file://{cdn}")
+    with pytest.raises(RuntimeError, match="Checksum mismatch"):
+        gigaam_tpu.load_model("ctc", download_root=str(tmp_path / "cache2"))
