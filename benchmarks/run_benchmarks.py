@@ -30,7 +30,15 @@ def main() -> None:
     ap.add_argument("--json", default=None)
     ap.add_argument("--trace", default=None,
                     help="capture an xprof trace of one e2e batch")
+    ap.add_argument("--train", action="store_true",
+                    help="also time fine-tune steps (CTC bf16, bs8 x 20 s)")
+    ap.add_argument("--only", default=None,
+                    choices=["attention", "ctc", "rnnt", "train"],
+                    help="run a single section")
     args = ap.parse_args()
+
+    def want(section: str) -> bool:
+        return args.only is None or args.only == section
 
     import jax
     import jax.numpy as jnp
@@ -56,8 +64,10 @@ def main() -> None:
         return jnp.einsum("bhqk,bhkd->bhqd", a, v,
                           preferred_element_type=jnp.float32).astype(q.dtype)
 
-    att_points = [(1, 10), (8, 20)] if args.quick else [(1, 10), (8, 20),
-                                                        (32, 30)]
+    att_points = ([(1, 10), (8, 20)] if args.quick else [(1, 10), (8, 20),
+                                                          (32, 30)])
+    if not want("attention"):
+        att_points = []
     for b, sec in att_points:
         t = sec * 100 // 4  # approx frames after 4x subsampling
         shape = (b, 16, t, 48)
@@ -79,9 +89,11 @@ def main() -> None:
         print(f"attention b{b} {sec}s: {row}")
 
     # ---- encoder + e2e --------------------------------------------------
-    model = load_model("v3_ctc", init="random")
-    enc_points = [(1, 10), (8, 20)] if args.quick else [(1, 10), (8, 20),
-                                                        (8, 30)]
+    model = load_model("v3_ctc", init="random") if want("ctc") else None
+    enc_points = ([(1, 10), (8, 20)] if args.quick else [(1, 10), (8, 20),
+                                                         (8, 30)])
+    if not want("ctc"):
+        enc_points = []
     for b, sec in enc_points:
         wavs = [(0.1 * rng.standard_normal(16000 * sec)).astype(np.float32)
                 for _ in range(b)]
@@ -90,16 +102,19 @@ def main() -> None:
         pos = model._pos_for(batch.shape[1])
         # time the labels output (index 0): it depends on the waveforms, so
         # the encoder cannot be dead-code-eliminated (enc_lens alone would
-        # be — it is a pure function of the lengths)
+        # be — it is a pure function of the lengths).  params are passed as
+        # a jit argument, NOT closed over: closure constants get serialized
+        # into the remote-compile request and 220M fp32 params overflow the
+        # axon tunnel's body limit (HTTP 413).
         dt = device_timeit(
-            lambda w, l: model._ctc_forward_impl(model.params, w, l, pos)[0],
-            (batch, lens))
+            lambda w, p: model._ctc_forward_impl(p, w, lens, pos)[0],
+            (batch, model.params))
         rtf = b * sec / dt
         results[f"v3_ctc_e2e_b{b}_{sec}s"] = {
             "ms": round(dt * 1e3, 2), "rtf": round(rtf, 0)}
         print(f"v3_ctc e2e b{b} {sec}s: {dt * 1e3:.2f} ms  RTF {rtf:.0f}")
 
-    if args.trace:
+    if args.trace and model is not None:
         wavs = [(0.1 * rng.standard_normal(16000 * 10)).astype(np.float32)
                 for _ in range(8)]
         batch, lens = pad_wav_batch(wavs)
@@ -113,25 +128,95 @@ def main() -> None:
         print(f"xprof trace written to {args.trace}")
 
     # ---- RNNT e2e (encoder + on-device label loop) ----------------------
-    if not args.quick:
-        import time
+    if not args.quick and want("rnnt"):
+        from gigaam_tpu.decode.rnnt_greedy import rnnt_greedy_decode
 
         rnnt = load_model("v3_rnnt", init="random")
         b, sec = 8, 20
         wavs = [(0.1 * rng.standard_normal(16000 * sec)).astype(np.float32)
                 for _ in range(b)]
-        # while_loop prevents fori-loop nesting; time dispatches directly
-        outs = rnnt._decode_batch(wavs, word_timestamps=False)  # compile
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            rnnt._decode_batch(wavs, word_timestamps=False)
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times))
+        # A random-weight joint spams non-blank tokens, driving the label
+        # loop to its max_symbols_per_step ceiling (~10x the realistic trip
+        # count: trained models emit a few tokens/second, so iterations
+        # ~= T + U ~= T).  Bias the output toward blank so the loop runs
+        # exactly T iterations — the trip count a trained checkpoint
+        # exhibits — and time encoder and decode loop separately with
+        # device-side amortization (the tunnel costs ~25 ms per dispatch).
+        head = jax.tree.map(lambda x: x, rnnt.params["head"])
+        b_out = head["joint"]["out"]["b"]
+        head["joint"]["out"]["b"] = b_out.at[b_out.shape[0] - 1].add(1e4)
+
+        enc, enc_len = rnnt.encode_batch(wavs)
+        enc = enc.astype(jnp.float32)
+        t_frames = int(np.asarray(enc_len).max())
+        dt_dec = device_timeit(
+            lambda e, h: rnnt_greedy_decode(h, e, enc_len)[0],
+            (enc, head), k=10)
+
+        batch, lens = pad_wav_batch(wavs)
+        batch, lens = jnp.asarray(batch), jnp.asarray(lens)
+        pos = rnnt._pos_for(batch.shape[1])
+        dt_enc = device_timeit(
+            lambda w, p: rnnt._encode_impl(p, w, lens, pos)[0],
+            (batch, rnnt.params))
+
+        dt = dt_enc + dt_dec
         results[f"v3_rnnt_e2e_b{b}_{sec}s"] = {
+            "encoder_ms": round(dt_enc * 1e3, 2),
+            "decode_ms": round(dt_dec * 1e3, 2),
+            "decode_us_per_frame": round(dt_dec / t_frames * 1e6, 1),
             "ms": round(dt * 1e3, 2), "rtf": round(b * sec / dt, 0)}
-        print(f"v3_rnnt e2e b{b} {sec}s: {dt * 1e3:.2f} ms  "
-              f"RTF {b * sec / dt:.0f}")
+        print(f"v3_rnnt e2e b{b} {sec}s: enc {dt_enc * 1e3:.2f} + dec "
+              f"{dt_dec * 1e3:.2f} ms  RTF {b * sec / dt:.0f}")
+
+    # ---- fine-tune step (reference anchor: ~4 min/epoch, bs64 bf16,
+    # 2 GPUs ~ example.ipynb; here: audio-seconds trained /s/chip) ---------
+    if args.train and want("train"):
+        from gigaam_tpu.train.finetune import FineTuner, TrainConfig
+
+        ctc = load_model("v3_ctc", init="random")
+        # remat keeps bs8 x 20 s within a single 16 GB chip (the reference
+        # needs activation checkpointing for its 24 GB GPUs too)
+        tc = TrainConfig(lr=1e-5, total_steps=100, precision="bf16",
+                         spec_augment=False, activation_checkpointing=True)
+        ft = FineTuner(ctc, tc)
+        b, sec, u = 8, 20, 32
+        wavs = np.stack([(0.1 * rng.standard_normal(16000 * sec))
+                         .astype(np.float32) for _ in range(b)])
+        lens = np.full((b,), 16000 * sec, np.int32)
+        toks = rng.integers(0, 30, (b, u)).astype(np.int32)
+        tlens = np.full((b,), u, np.int32)
+        batch = tuple(jnp.asarray(x) for x in (wavs, lens, toks, tlens))
+        rng_key = jax.random.PRNGKey(0)
+
+        k = 3 if args.quick else 4
+
+        @jax.jit
+        def run_k(params, opt_state, w):
+            def body(i, carry):
+                p, o, _ = carry
+                bi = (w + (1e-7 * i).astype(w.dtype),) + batch[1:]
+                p, o, loss, _ = ft._train_step_impl(p, o, bi, rng_key)
+                return p, o, loss
+            return jax.lax.fori_loop(
+                0, k, body, (params, opt_state, jnp.float32(0)))
+
+        import time
+
+        p, o, loss = run_k(ft.params, ft.opt_state, batch[0])  # compile
+        jax.block_until_ready(loss)
+        ts = []
+        for v in (p, ft.params, p):  # alternate buffers, defeat reuse path
+            t0 = time.perf_counter()
+            _, _, loss = run_k(v, o, batch[0])
+            float(loss)
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts) / k
+        results[f"train_ctc_step_b{b}_{sec}s"] = {
+            "ms": round(dt * 1e3, 1),
+            "audio_s_per_s": round(b * sec / dt, 0)}
+        print(f"train ctc step b{b} {sec}s: {dt * 1e3:.1f} ms  "
+              f"({b * sec / dt:.0f} audio-s trained/s/chip)")
 
     if args.json:
         with open(args.json, "w") as f:

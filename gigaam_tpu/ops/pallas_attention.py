@@ -64,7 +64,46 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _xla_mha(q, k, v, valid, scale):
+    """XLA twin of ``_attn_kernel`` (same masking/softmax math) — used as
+    the recompute target for the custom VJP below."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    mask = valid[:, None, None, :].astype(jnp.float32)
+    s = s + (mask - 1.0) * (-NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    return (o / denom).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_mha(q, k, v, valid, block_q, interpret):
+    return _fused_mha_fwd_only(q, k, v, valid, block_q, interpret)
+
+
+def _fused_mha_vjp_fwd(q, k, v, valid, block_q, interpret):
+    out = _fused_mha_fwd_only(q, k, v, valid, block_q, interpret)
+    return out, (q, k, v, valid)
+
+
+def _fused_mha_vjp_bwd(block_q, interpret, res, g):
+    # Backward = differentiate the mathematically identical XLA attention
+    # (flash-style recompute: scores are cheap to rebuild, and a hand-rolled
+    # Pallas backward is not worth it for T' <= 750 speech sequences).
+    q, k, v, valid = res
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_mha(q_, k_, v_, valid, scale),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_fused_mha.defvjp(_fused_mha_vjp_fwd, _fused_mha_vjp_bwd)
+
+
 def fused_mha(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -75,10 +114,26 @@ def fused_mha(
 ) -> jnp.ndarray:
     """Masked SDPA. q/k/v [B, H, T, d]; valid [B, T] bool -> [B, H, T, d].
 
+    Differentiable: forward runs the Pallas kernel; backward recomputes
+    through an identical XLA formulation (``_xla_mha``), so the op works
+    under ``jax.grad`` / ``jax.checkpoint`` in the train step.
+
     Output rows for invalid (padded) query positions are garbage, matching
     the XLA path's contract: the Conformer conv module re-zeroes padding
     before any cross-time mixing (``gigaam/encoder.py:396-409``).
     """
+    return _fused_mha(q, k, v, valid, block_q, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _fused_mha_fwd_only(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid: jnp.ndarray,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
     b, h, t, d = q.shape
     scale = 1.0 / math.sqrt(d)
     bh = b * h

@@ -58,6 +58,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--val_every_n_steps", type=int, default=0,
                    help="0 = validate once per epoch")
     p.add_argument("--log_every_n_steps", type=int, default=10)
+    p.add_argument("--train_wer_every_n_steps", type=int, default=0,
+                   help="decode the current train batch and log train/wer "
+                        "every N steps (reference module.py:200-213); 0=off")
     p.add_argument("--save_dir", default="exp/default")
     p.add_argument("--save_top_k", type=int, default=1)
     p.add_argument("--resume_from_checkpoint", default=None)
@@ -208,6 +211,13 @@ def main(argv: Optional[List[str]] = None) -> None:
                 print(f"step {ft.step}/{max_steps} loss={m['loss']:.4f} "
                       f"lr={m['lr']:.2e} gnorm={m['grad_norm']:.2f}")
                 log({"kind": "train", "step": ft.step, **m})
+            if (args.train_wer_every_n_steps
+                    and ft.step % args.train_wer_every_n_steps == 0):
+                _, hyps = ft.eval_step(batch)
+                e, w = ft.batch_wer(hyps, batch[2], batch[3])
+                twer = e / max(1, w)
+                print(f"  [train/wer] step={ft.step} wer={twer:.4f}")
+                log({"kind": "train_wer", "step": ft.step, "wer": twer})
             if (args.val_every_n_steps
                     and ft.step % args.val_every_n_steps == 0):
                 validate(ft.step)

@@ -76,6 +76,7 @@ def test_train_cli_and_resume(dataset_dir, tiny_model_artifact, tmp_path):
         "--precision", "fp32",
         "--save_dir", save_dir,
         "--log_every_n_steps", "1",
+        "--train_wer_every_n_steps", "2",
         "--save_top_k", "2",
     ]
     train_cli.main(args)
@@ -85,6 +86,8 @@ def test_train_cli_and_resume(dataset_dir, tiny_model_artifact, tmp_path):
                open(os.path.join(save_dir, "metrics.jsonl"))]
     assert any(m["kind"] == "train" for m in metrics)
     assert any(m["kind"] == "val" for m in metrics)
+    # sampled train WER (reference module.py:200-213)
+    assert any(m["kind"] == "train_wer" and 0 <= m["wer"] for m in metrics)
     assert os.path.exists(os.path.join(save_dir, "final.npz"))
     ckpts = [f for f in os.listdir(save_dir) if f.endswith(".ckpt")]
     assert 1 <= len(ckpts) <= 2

@@ -54,3 +54,29 @@ def test_fused_bf16():
     got = np.asarray(fused_mha(q, k, v, valid, interpret=True),
                      dtype=np.float32)
     np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_fused_mha_grad_matches_xla():
+    """fused_mha must be differentiable (train step on TPU) and its custom
+    VJP must match grads of the plain XLA formulation."""
+    b, h, t, d = 2, 4, 128, 48
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    valid = np.ones((b, t), bool)
+    valid[1, t // 2:] = False
+    valid_j = jnp.asarray(valid)
+    vq = jnp.asarray(valid, np.float32)[:, None, :, None]  # zero padded rows
+
+    def loss_fused(q, k, v):
+        return jnp.sum((fused_mha(q, k, v, valid_j, interpret=True) * vq) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum((_xla_attention(q, k, v, valid_j) * vq) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-3, rtol=1e-3)
