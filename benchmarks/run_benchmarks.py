@@ -172,51 +172,57 @@ def main() -> None:
     # ---- fine-tune step (reference anchor: ~4 min/epoch, bs64 bf16,
     # 2 GPUs ~ example.ipynb; here: audio-seconds trained /s/chip) ---------
     if args.train and want("train"):
-        from gigaam_tpu.train.finetune import FineTuner, TrainConfig
-
-        ctc = load_model("v3_ctc", init="random")
-        # remat keeps bs8 x 20 s within a single 16 GB chip (the reference
-        # needs activation checkpointing for its 24 GB GPUs too)
-        tc = TrainConfig(lr=1e-5, total_steps=100, precision="bf16",
-                         spec_augment=False, activation_checkpointing=True)
-        ft = FineTuner(ctc, tc)
-        b, sec, u = 8, 20, 32
-        wavs = np.stack([(0.1 * rng.standard_normal(16000 * sec))
-                         .astype(np.float32) for _ in range(b)])
-        lens = np.full((b,), 16000 * sec, np.int32)
-        toks = rng.integers(0, 30, (b, u)).astype(np.int32)
-        tlens = np.full((b,), u, np.int32)
-        batch = tuple(jnp.asarray(x) for x in (wavs, lens, toks, tlens))
-        rng_key = jax.random.PRNGKey(0)
-
-        k = 3 if args.quick else 4
-
-        @jax.jit
-        def run_k(params, opt_state, w):
-            def body(i, carry):
-                p, o, _ = carry
-                bi = (w + (1e-7 * i).astype(w.dtype),) + batch[1:]
-                p, o, loss, _ = ft._train_step_impl(p, o, bi, rng_key)
-                return p, o, loss
-            return jax.lax.fori_loop(
-                0, k, body, (params, opt_state, jnp.float32(0)))
-
         import time
 
-        p, o, loss = run_k(ft.params, ft.opt_state, batch[0])  # compile
-        jax.block_until_ready(loss)
-        ts = []
-        for v in (p, ft.params, p):  # alternate buffers, defeat reuse path
-            t0 = time.perf_counter()
-            _, _, loss = run_k(v, o, batch[0])
-            float(loss)
-            ts.append(time.perf_counter() - t0)
-        dt = min(ts) / k
-        results[f"train_ctc_step_b{b}_{sec}s"] = {
-            "ms": round(dt * 1e3, 1),
-            "audio_s_per_s": round(b * sec / dt, 0)}
-        print(f"train ctc step b{b} {sec}s: {dt * 1e3:.1f} ms  "
-              f"({b * sec / dt:.0f} audio-s trained/s/chip)")
+        from gigaam_tpu.train.finetune import FineTuner, TrainConfig
+
+        def time_train(kind: str, b: int, sec: int) -> None:
+            model_t = load_model(f"v3_{kind}", init="random")
+            # remat keeps bs8 x 20 s within a single 16 GB chip (the
+            # reference needs activation checkpointing for 24 GB GPUs too)
+            tc = TrainConfig(lr=1e-5, total_steps=100, precision="bf16",
+                             spec_augment=False,
+                             activation_checkpointing=True)
+            ft = FineTuner(model_t, tc)
+            u = 32
+            wavs = np.stack([(0.1 * rng.standard_normal(16000 * sec))
+                             .astype(np.float32) for _ in range(b)])
+            lens = np.full((b,), 16000 * sec, np.int32)
+            toks = rng.integers(0, 30, (b, u)).astype(np.int32)
+            tlens = np.full((b,), u, np.int32)
+            batch = tuple(jnp.asarray(x) for x in (wavs, lens, toks, tlens))
+            rng_key = jax.random.PRNGKey(0)
+
+            k = 3 if args.quick else 4
+
+            @jax.jit
+            def run_k(params, opt_state, w):
+                def body(i, carry):
+                    p, o, _ = carry
+                    bi = (w + (1e-7 * i).astype(w.dtype),) + batch[1:]
+                    p, o, loss, _ = ft._train_step_impl(p, o, bi, rng_key)
+                    return p, o, loss
+                return jax.lax.fori_loop(
+                    0, k, body, (params, opt_state, jnp.float32(0)))
+
+            p, o, loss = run_k(ft.params, ft.opt_state, batch[0])  # compile
+            jax.block_until_ready(loss)
+            ts = []
+            for v in (p, ft.params, p):  # alternate buffers vs reuse path
+                t0 = time.perf_counter()
+                _, _, loss = run_k(v, o, batch[0])
+                float(loss)
+                ts.append(time.perf_counter() - t0)
+            dt = min(ts) / k
+            results[f"train_{kind}_step_b{b}_{sec}s"] = {
+                "ms": round(dt * 1e3, 1),
+                "audio_s_per_s": round(b * sec / dt, 0)}
+            print(f"train {kind} step b{b} {sec}s: {dt * 1e3:.1f} ms  "
+                  f"({b * sec / dt:.0f} audio-s trained/s/chip)")
+
+        time_train("ctc", 8, 20)
+        if not args.quick:
+            time_train("rnnt", 8, 20)
 
     if args.json:
         with open(args.json, "w") as f:
