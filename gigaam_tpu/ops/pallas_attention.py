@@ -109,10 +109,14 @@ def fused_mha(
     k: jnp.ndarray,
     v: jnp.ndarray,
     valid: jnp.ndarray,
-    block_q: int = 256,
+    block_q: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Masked SDPA. q/k/v [B, H, T, d]; valid [B, T] bool -> [B, H, T, d].
+
+    ``block_q=512`` measured ~10% faster than 256 at T'=501 (fewer grid
+    cells; the kernel is cell-latency-bound, not softmax- or MXU-bound —
+    an all-heads-per-cell variant measured *zero* further gain).
 
     Differentiable: forward runs the Pallas kernel; backward recomputes
     through an identical XLA formulation (``_xla_mha``), so the op works
@@ -131,7 +135,7 @@ def _fused_mha_fwd_only(
     k: jnp.ndarray,
     v: jnp.ndarray,
     valid: jnp.ndarray,
-    block_q: int = 256,
+    block_q: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, t, d = q.shape
