@@ -132,9 +132,6 @@ def main() -> None:
         from gigaam_tpu.decode.rnnt_greedy import rnnt_greedy_decode
 
         rnnt = load_model("v3_rnnt", init="random")
-        b, sec = 8, 20
-        wavs = [(0.1 * rng.standard_normal(16000 * sec)).astype(np.float32)
-                for _ in range(b)]
         # A random-weight joint spams non-blank tokens, driving the label
         # loop to its max_symbols_per_step ceiling (~10x the realistic trip
         # count: trained models emit a few tokens/second, so iterations
@@ -146,28 +143,34 @@ def main() -> None:
         b_out = head["joint"]["out"]["b"]
         head["joint"]["out"]["b"] = b_out.at[b_out.shape[0] - 1].add(1e4)
 
-        enc, enc_len = rnnt.encode_batch(wavs)
-        enc = enc.astype(jnp.float32)
-        t_frames = int(np.asarray(enc_len).max())
-        dt_dec = device_timeit(
-            lambda e, h: rnnt_greedy_decode(h, e, enc_len)[0],
-            (enc, head), k=10)
+        # b32 shows the serving sweet spot: the decode loop is
+        # latency-bound, so its cost is nearly flat in batch while encoder
+        # time scales linearly — RTF approaches the CTC model's.
+        for b, sec in [(8, 20), (32, 20)]:
+            wavs = [(0.1 * rng.standard_normal(16000 * sec))
+                    .astype(np.float32) for _ in range(b)]
+            enc, enc_len = rnnt.encode_batch(wavs)
+            enc = enc.astype(jnp.float32)
+            t_frames = int(np.asarray(enc_len).max())
+            dt_dec = device_timeit(
+                lambda e, h: rnnt_greedy_decode(h, e, enc_len)[0],
+                (enc, head), k=10)
 
-        batch, lens = pad_wav_batch(wavs)
-        batch, lens = jnp.asarray(batch), jnp.asarray(lens)
-        pos = rnnt._pos_for(batch.shape[1])
-        dt_enc = device_timeit(
-            lambda w, p: rnnt._encode_impl(p, w, lens, pos)[0],
-            (batch, rnnt.params))
+            batch, lens = pad_wav_batch(wavs)
+            batch, lens = jnp.asarray(batch), jnp.asarray(lens)
+            pos = rnnt._pos_for(batch.shape[1])
+            dt_enc = device_timeit(
+                lambda w, p: rnnt._encode_impl(p, w, lens, pos)[0],
+                (batch, rnnt.params))
 
-        dt = dt_enc + dt_dec
-        results[f"v3_rnnt_e2e_b{b}_{sec}s"] = {
-            "encoder_ms": round(dt_enc * 1e3, 2),
-            "decode_ms": round(dt_dec * 1e3, 2),
-            "decode_us_per_frame": round(dt_dec / t_frames * 1e6, 1),
-            "ms": round(dt * 1e3, 2), "rtf": round(b * sec / dt, 0)}
-        print(f"v3_rnnt e2e b{b} {sec}s: enc {dt_enc * 1e3:.2f} + dec "
-              f"{dt_dec * 1e3:.2f} ms  RTF {b * sec / dt:.0f}")
+            dt = dt_enc + dt_dec
+            results[f"v3_rnnt_e2e_b{b}_{sec}s"] = {
+                "encoder_ms": round(dt_enc * 1e3, 2),
+                "decode_ms": round(dt_dec * 1e3, 2),
+                "decode_us_per_frame": round(dt_dec / t_frames * 1e6, 1),
+                "ms": round(dt * 1e3, 2), "rtf": round(b * sec / dt, 0)}
+            print(f"v3_rnnt e2e b{b} {sec}s: enc {dt_enc * 1e3:.2f} + dec "
+                  f"{dt_dec * 1e3:.2f} ms  RTF {b * sec / dt:.0f}")
 
     # ---- fine-tune step (reference anchor: ~4 min/epoch, bs64 bf16,
     # 2 GPUs ~ example.ipynb; here: audio-seconds trained /s/chip) ---------
