@@ -188,8 +188,23 @@ def load_model(
     local = os.path.expanduser(model_name)
     if os.path.isfile(local) or os.path.isfile(local + ".npz"):
         if local.endswith(".ckpt"):
-            from .checkpoint import convert_reference_checkpoint
+            from .checkpoint import (
+                apply_finetuned_state_dict,
+                convert_reference_checkpoint,
+                load_torch_checkpoint,
+            )
 
+            ckpt = load_torch_checkpoint(local)
+            if "hyper_parameters" in ckpt and "cfg" not in ckpt:
+                # fine-tuned Lightning checkpoint: recurse on the base
+                # model name, then overlay the filtered state_dict
+                # (reference ``gigaam/__init__.py:139-156``)
+                base_name = ckpt["hyper_parameters"]["model_name"]
+                base = load_model(base_name, device=device,
+                                  download_root=download_root, init=init,
+                                  seed=seed, **kw)
+                base.params = apply_finetuned_state_dict(base.cfg, local)
+                return _finalize(base)
             cfg, params = convert_reference_checkpoint(local)
             return _finalize(model_class_for(cfg)(cfg, params=params, **kw))
         return _finalize(load_native(local, **kw))

@@ -209,3 +209,40 @@ def test_load_model_checksum_mismatch(tmp_path, monkeypatch):
     monkeypatch.setattr(gigaam_tpu, "_URL_DIR", f"file://{cdn}")
     with pytest.raises(RuntimeError, match="Checksum mismatch"):
         gigaam_tpu.load_model("ctc", download_root=str(tmp_path / "cache2"))
+
+
+def test_load_model_finetuned_lightning_ckpt(tmp_path, monkeypatch):
+    """A fine-tuned Lightning .ckpt loads by recursing on
+    hyper_parameters.model_name and overlaying the prefix-filtered
+    state_dict (reference ``gigaam/__init__.py:139-156``)."""
+    import gigaam_tpu
+
+    cdn = tmp_path / "cdn"
+    cdn.mkdir()
+    base_ckpt = str(cdn / "v3_ctc.ckpt")
+    torch.save({"cfg": _ref_cfg_dict("ctc"),
+                "state_dict": _ref_state_dict("ctc")}, base_ckpt)
+    monkeypatch.setattr(gigaam_tpu, "_URL_DIR", f"file://{cdn}")
+    monkeypatch.setattr(
+        gigaam_tpu, "_MODEL_HASHES",
+        {**gigaam_tpu._MODEL_HASHES,
+         "v3_ctc": gigaam_tpu.hash_path(base_ckpt)})
+
+    # fine-tuned ckpt: perturb one weight, add Lightning-style extras
+    sd = _ref_state_dict("ctc")
+    sd["head.decoder_layers.0.weight"] = (
+        sd["head.decoder_layers.0.weight"] + 1.0)
+    sd["optimizer.some_buffer"] = torch.zeros(3)  # must be filtered out
+    ft_path = str(tmp_path / "finetuned.ckpt")
+    torch.save({"hyper_parameters": {"model_name": "v3_ctc"},
+                "state_dict": sd}, ft_path)
+
+    root = str(tmp_path / "cache")
+    model = gigaam_tpu.load_model(ft_path, download_root=root,
+                                  compute_dtype=jnp.float32)
+    assert isinstance(model, GigaAMASR)
+    base = gigaam_tpu.load_model("v3_ctc", download_root=root,
+                                 compute_dtype=jnp.float32)
+    diff = (np.asarray(model.params["head"]["proj"]["w"])
+            - np.asarray(base.params["head"]["proj"]["w"]))
+    np.testing.assert_allclose(diff, 1.0, atol=1e-6)
