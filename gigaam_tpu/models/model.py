@@ -255,9 +255,14 @@ class GigaAMASR(GigaAM):
         return labels, keep, enc_lens
 
     def _decode_batch(
-        self, wavs: List[np.ndarray], word_timestamps: bool
+        self, wavs: List[np.ndarray], word_timestamps: bool,
+        beam_size: int = 1,
     ) -> List[Tuple[str, Optional[List[Word]]]]:
         """Batched transcribe core (reference ``model.py:96-124``).
+
+        ``beam_size > 1`` switches RNNT models to the on-device beam
+        search (``decode/rnnt_beam.py``; CTC ignores it — greedy CTC is
+        exact for the per-frame-argmax criterion the reference uses).
 
         Under ``set_mesh``, the batch is sharded across the mesh "data"
         axis — the multi-chip longform path."""
@@ -274,9 +279,17 @@ class GigaAMASR(GigaAM):
         else:
             encoded, enc_lens = self._encode_jit(
                 self.params, dev_batch, dev_lens, pos)
-            tokens, frames, counts = rnnt_greedy_decode(
-                self.params["head"], encoded, enc_lens,
-                max_symbols=self.cfg.decoding.max_symbols_per_step)
+            if beam_size > 1:
+                from ..decode.rnnt_beam import rnnt_beam_decode
+
+                tokens, frames, counts = rnnt_beam_decode(
+                    self.params["head"], encoded, enc_lens,
+                    beam_size=beam_size,
+                    max_symbols=self.cfg.decoding.max_symbols_per_step)
+            else:
+                tokens, frames, counts = rnnt_greedy_decode(
+                    self.params["head"], encoded, enc_lens,
+                    max_symbols=self.cfg.decoding.max_symbols_per_step)
             decoded = rnnt_extract(np.asarray(tokens)[:n],
                                    np.asarray(frames)[:n],
                                    np.asarray(counts)[:n])
@@ -295,14 +308,19 @@ class GigaAMASR(GigaAM):
     # -- public API --------------------------------------------------------
 
     def transcribe(
-        self, wav_file: str, word_timestamps: bool = False
+        self, wav_file: str, word_timestamps: bool = False,
+        beam_size: int = 1,
     ) -> TranscriptionResult:
-        """Transcribe a short (<25 s) audio file (``model.py:126-140``)."""
+        """Transcribe a short (<25 s) audio file (``model.py:126-140``).
+
+        ``beam_size > 1`` enables RNNT beam search (an extension over the
+        reference, which is greedy-only)."""
         wav = self.prepare_wav(wav_file)
         if len(wav) > LONGFORM_THRESHOLD_SEC * SAMPLE_RATE:
             raise ValueError(
                 "Too long wav file, use 'transcribe_longform' method.")
-        text, words = self._decode_batch([wav], word_timestamps)[0]
+        text, words = self._decode_batch([wav], word_timestamps,
+                                         beam_size=beam_size)[0]
         return TranscriptionResult(text=text, words=words)
 
     def transcribe_longform(
@@ -310,6 +328,7 @@ class GigaAMASR(GigaAM):
         wav_file: str,
         word_timestamps: bool = False,
         fr_batch_size: int = 16,
+        beam_size: int = 1,
         **kwargs,
     ) -> LongformTranscriptionResult:
         """VAD-segment + batched transcription (``model.py:195-259``)."""
@@ -324,7 +343,8 @@ class GigaAMASR(GigaAM):
         for i in range(0, len(segments), fr_batch_size):
             chunk = segments[i: i + fr_batch_size]
             for j, (text, words) in enumerate(
-                self._decode_batch(chunk, word_timestamps)
+                self._decode_batch(chunk, word_timestamps,
+                                   beam_size=beam_size)
             ):
                 seg_start, seg_end = boundaries[i + j]
                 if word_timestamps:

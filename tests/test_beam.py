@@ -1,0 +1,135 @@
+"""RNNT beam-search tests: K=1 must be decision-identical to the greedy
+decoder, and K>1 must never score worse than greedy under the model's own
+cumulative log-probability."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gigaam_tpu.config import RNNTDecoderConfig, RNNTHeadConfig, RNNTJointConfig
+from gigaam_tpu.decode.rnnt_beam import rnnt_beam_decode
+from gigaam_tpu.decode.rnnt_greedy import rnnt_extract, rnnt_greedy_decode
+from gigaam_tpu.models.heads import (
+    init_rnnt_head,
+    rnnt_joint_step,
+    rnnt_predict_step,
+)
+
+
+def _tiny_head(seed=0, v=8, hdim=12, d=16):
+    cfg = RNNTHeadConfig(
+        decoder=RNNTDecoderConfig(pred_hidden=hdim, pred_rnn_layers=1,
+                                  num_classes=v),
+        joint=RNNTJointConfig(enc_hidden=d, pred_hidden=hdim,
+                              joint_hidden=hdim, num_classes=v))
+    return init_rnnt_head(jax.random.PRNGKey(seed), cfg), d
+
+
+def _replay_score(params, encoded_b, enc_len_b, ids, frames,
+                  max_symbols=10):
+    """Cumulative log-prob of the alignment (ids, frames) induces: emitted
+    labels at their frames, blank at every frame that ended with fewer than
+    max_symbols emissions (the cap abandons the frame without paying
+    blank, mirroring gigaam/decoding.py:189)."""
+    blank = params["decoder"]["embed"].shape[0] - 1
+    n_layers = len(params["decoder"]["lstm"])
+    hidden = params["decoder"]["embed"].shape[1]
+    h = jnp.zeros((n_layers, 1, hidden), jnp.float32)
+    c = jnp.zeros((n_layers, 1, hidden), jnp.float32)
+    label = blank
+    score, ptr = 0.0, 0
+    for t in range(int(enc_len_b)):
+        n_emit = 0
+        while ptr < len(ids) and frames[ptr] == t:
+            pred, h_new, c_new = rnnt_predict_step(
+                params, jnp.asarray([label]), h, c)
+            logp = rnnt_joint_step(
+                params, jnp.asarray(encoded_b[None, t]), pred)
+            score += float(logp[0, ids[ptr]])
+            label = ids[ptr]
+            h, c = h_new, c_new
+            ptr += 1
+            n_emit += 1
+        if n_emit < max_symbols:
+            pred, _, _ = rnnt_predict_step(params, jnp.asarray([label]), h, c)
+            logp = rnnt_joint_step(
+                params, jnp.asarray(encoded_b[None, t]), pred)
+            score += float(logp[0, blank])
+    assert ptr == len(ids), "alignment does not consume all tokens"
+    return score
+
+
+def test_beam1_equals_greedy():
+    params, d = _tiny_head()
+    rng = np.random.default_rng(0)
+    encoded = rng.standard_normal((3, 11, d)).astype(np.float32) * 2.0
+    enc_len = np.array([11, 7, 3], np.int32)
+
+    g = rnnt_extract(*map(np.asarray, rnnt_greedy_decode(
+        params, jnp.asarray(encoded), jnp.asarray(enc_len))))
+    b1 = rnnt_extract(*map(np.asarray, rnnt_beam_decode(
+        params, jnp.asarray(encoded), jnp.asarray(enc_len), beam_size=1)))
+    for bi in range(3):
+        assert b1[bi] == g[bi], f"sample {bi}: beam=1 != greedy"
+
+
+def test_beam_scores_at_least_greedy():
+    params, d = _tiny_head(seed=3)
+    rng = np.random.default_rng(5)
+    encoded = rng.standard_normal((4, 9, d)).astype(np.float32) * 2.0
+    enc_len = np.array([9, 9, 6, 4], np.int32)
+
+    g = rnnt_extract(*map(np.asarray, rnnt_greedy_decode(
+        params, jnp.asarray(encoded), jnp.asarray(enc_len))))
+    b4 = rnnt_extract(*map(np.asarray, rnnt_beam_decode(
+        params, jnp.asarray(encoded), jnp.asarray(enc_len), beam_size=4)))
+
+    improved = 0
+    for bi in range(4):
+        sg = _replay_score(params, encoded[bi], enc_len[bi], *g[bi])
+        sb = _replay_score(params, encoded[bi], enc_len[bi], *b4[bi])
+        assert sb >= sg - 1e-4, (
+            f"sample {bi}: beam score {sb} < greedy {sg}")
+        improved += sb > sg + 1e-6
+    # with an untrained model at least one sample should genuinely improve
+    assert improved >= 1
+
+
+def test_beam_respects_length_and_is_deterministic():
+    params, d = _tiny_head(seed=1)
+    rng = np.random.default_rng(2)
+    encoded = rng.standard_normal((2, 8, d)).astype(np.float32) * 2.0
+    enc_len = np.array([8, 5], np.int32)
+
+    r1 = rnnt_beam_decode(params, jnp.asarray(encoded),
+                          jnp.asarray(enc_len), beam_size=4)
+    r2 = rnnt_beam_decode(params, jnp.asarray(encoded),
+                          jnp.asarray(enc_len), beam_size=4)
+    for a, b_ in zip(r1, r2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    out = rnnt_extract(*map(np.asarray, r1))
+    for bi, (ids, frames) in enumerate(out):
+        assert all(0 <= f < enc_len[bi] for f in frames)
+        assert frames == sorted(frames)
+
+
+def test_transcribe_beam_api(tmp_path):
+    """beam_size plumbs through the public transcribe API."""
+    import jax.numpy as jnp
+
+    from gigaam_tpu.audio import save_wav
+    from gigaam_tpu.models.model import GigaAMASR
+    from test_training import tiny_cfg
+
+    model = GigaAMASR(tiny_cfg("rnnt"), seed=0, compute_dtype=jnp.float32)
+    p = str(tmp_path / "t.wav")
+    save_wav(p, (0.1 * np.random.default_rng(0)
+                 .standard_normal(16000)).astype(np.float32))
+    res_g = model.transcribe(p)
+    res_b = model.transcribe(p, beam_size=4, word_timestamps=True)
+    assert isinstance(res_b.text, str)
+    assert res_b.words is not None
+    # beam=1 through the API must match plain greedy
+    assert model.transcribe(p, beam_size=1).text == res_g.text
