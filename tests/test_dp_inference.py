@@ -70,3 +70,16 @@ def test_process_shard_single_host():
     assert dist.process_shard(items) == items
     assert dist.process_shard_indices(4) == [0, 1, 2, 3]
     dist.initialize()  # no-op on single host
+
+
+def test_sharded_beam_matches_single(long_wav):
+    """RNNT beam search under a data-parallel mesh must match single-device
+    beam output (beam state is per-sample, so DP sharding is transparent)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    single = GigaAMASR(tiny_cfg("rnnt"), seed=0, compute_dtype=jnp.float32)
+    sharded = GigaAMASR(tiny_cfg("rnnt"), seed=0, compute_dtype=jnp.float32)
+    sharded.set_mesh(make_mesh(data=8, model=1))
+    res_s = single.transcribe_longform(long_wav, beam_size=4)
+    res_m = sharded.transcribe_longform(long_wav, beam_size=4)
+    assert [s.text for s in res_s] == [s.text for s in res_m]
