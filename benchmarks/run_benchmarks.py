@@ -40,6 +40,10 @@ def main() -> None:
     def want(section: str) -> bool:
         return args.only is None or args.only == section
 
+    # --only <section> implies the user wants it, overriding other gates
+    run_rnnt = (not args.quick or args.only == "rnnt") and want("rnnt")
+    run_train = (args.train or args.only == "train") and want("train")
+
     import jax
     import jax.numpy as jnp
 
@@ -128,7 +132,7 @@ def main() -> None:
         print(f"xprof trace written to {args.trace}")
 
     # ---- RNNT e2e (encoder + on-device label loop) ----------------------
-    if not args.quick and want("rnnt"):
+    if run_rnnt:
         from gigaam_tpu.decode.rnnt_greedy import rnnt_greedy_decode
 
         rnnt = load_model("v3_rnnt", init="random")
@@ -174,7 +178,7 @@ def main() -> None:
 
     # ---- fine-tune step (reference anchor: ~4 min/epoch, bs64 bf16,
     # 2 GPUs ~ example.ipynb; here: audio-seconds trained /s/chip) ---------
-    if args.train and want("train"):
+    if run_train:
         import time
 
         from gigaam_tpu.train.finetune import FineTuner, TrainConfig

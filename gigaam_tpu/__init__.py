@@ -108,10 +108,17 @@ def _download_file(file_url: str, file_path: str) -> str:
     import sys
     import urllib.request
 
+    import tempfile
+
     if os.path.exists(file_path):
         return file_path
     os.makedirs(os.path.dirname(file_path) or ".", exist_ok=True)
-    tmp = file_path + ".part"
+    # per-process unique temp name: concurrent downloaders (multi-host pods,
+    # parallel test workers) must not interleave writes into one .part file
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(file_path) or ".",
+        prefix=os.path.basename(file_path) + ".", suffix=".part")
+    os.close(fd)
     with urllib.request.urlopen(file_url) as src, open(tmp, "wb") as out:
         total = int(src.info().get("Content-Length", 0) or 0)
         done = 0
@@ -196,16 +203,31 @@ def load_model(
 
             ckpt = load_torch_checkpoint(local)
             if "hyper_parameters" in ckpt and "cfg" not in ckpt:
-                # fine-tuned Lightning checkpoint: recurse on the base
-                # model name, then overlay the filtered state_dict
-                # (reference ``gigaam/__init__.py:139-156``)
+                # fine-tuned Lightning checkpoint: resolve the base model's
+                # *config* by name, then rebuild params from the filtered
+                # fine-tuned state_dict (it carries the full wrapped model,
+                # so the base weights are never needed — init="random"
+                # avoids downloading a multi-GB base ckpt just for its cfg;
+                # a cached converted base still supplies the exact cfg).
+                # Reference flow: ``gigaam/__init__.py:139-156``.
                 base_name = ckpt["hyper_parameters"]["model_name"]
                 base = load_model(base_name, device=device,
-                                  download_root=download_root, init=init,
-                                  seed=seed, **kw)
-                base.params = apply_finetuned_state_dict(base.cfg, local)
+                                  download_root=download_root,
+                                  init="random", seed=seed, **kw)
+                try:
+                    base.params = apply_finetuned_state_dict(
+                        base.cfg, local, ckpt=ckpt)
+                except Exception:
+                    # preset cfg didn't fit this state_dict (non-standard
+                    # base): fall back to the authoritative cfg embedded in
+                    # the downloaded base checkpoint
+                    base = load_model(base_name, device=device,
+                                      download_root=download_root,
+                                      seed=seed, **kw)
+                    base.params = apply_finetuned_state_dict(
+                        base.cfg, local, ckpt=ckpt)
                 return _finalize(base)
-            cfg, params = convert_reference_checkpoint(local)
+            cfg, params = convert_reference_checkpoint(local, ckpt=ckpt)
             return _finalize(model_class_for(cfg)(cfg, params=params, **kw))
         return _finalize(load_native(local, **kw))
 
@@ -237,9 +259,12 @@ def load_model(
 
     expected = _MODEL_HASHES.get(resolved)
     if expected is not None and hash_path(ckpt_path) != expected:
+        # remove the bad file so a retry re-downloads instead of failing
+        # forever on the cached corrupt copy
+        os.remove(ckpt_path)
         raise RuntimeError(
-            f"Checksum mismatch for {ckpt_path}; the download may be "
-            f"corrupted. Delete the file and retry "
+            f"Checksum mismatch for {ckpt_path}; the corrupted download was "
+            f"removed — retry load_model "
             f"(reference contract: gigaam/__init__.py:161-163).")
 
     from .checkpoint import convert_reference_checkpoint

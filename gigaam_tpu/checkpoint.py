@@ -372,10 +372,15 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
 # ---------------------------------------------------------------------------
 
 def convert_reference_checkpoint(
-    path: str, model_name: Optional[str] = None
+    path: str, model_name: Optional[str] = None,
+    ckpt: Optional[Dict[str, Any]] = None,
 ) -> Tuple[ModelConfig, Dict[str, Any]]:
-    """Load + convert a reference ``.ckpt`` (pretrained or fine-tuned)."""
-    ckpt = load_torch_checkpoint(path)
+    """Load + convert a reference ``.ckpt`` (pretrained or fine-tuned).
+
+    ``ckpt`` may carry an already-torch.loaded checkpoint dict to avoid a
+    second multi-GB deserialization."""
+    if ckpt is None:
+        ckpt = load_torch_checkpoint(path)
 
     if "hyper_parameters" in ckpt and "cfg" not in ckpt:
         # fine-tuned Lightning checkpoint (``gigaam/__init__.py:139-156``):
@@ -396,9 +401,18 @@ def convert_reference_checkpoint(
     return cfg, params
 
 
-def apply_finetuned_state_dict(cfg: ModelConfig, path: str) -> Dict[str, Any]:
-    """Convert a fine-tuned Lightning ckpt's state_dict with a known cfg."""
-    ckpt = load_torch_checkpoint(path)
+def apply_finetuned_state_dict(
+    cfg: ModelConfig, path: str,
+    ckpt: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
+    """Convert a fine-tuned Lightning ckpt's state_dict with a known cfg.
+
+    The reference fine-tune flow checkpoints the *whole* wrapped model
+    (preprocessor./encoder./head. keys), so the returned params are rebuilt
+    entirely from this state_dict — missing keys fail loudly in
+    convert_state_dict rather than silently keeping base weights."""
+    if ckpt is None:
+        ckpt = load_torch_checkpoint(path)
     sd = state_dict_to_numpy({
         k: v for k, v in ckpt["state_dict"].items()
         if k.startswith(("preprocessor.", "encoder.", "head."))

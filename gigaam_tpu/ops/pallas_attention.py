@@ -139,6 +139,9 @@ def _fused_mha_fwd_only(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, t, d = q.shape
+    # clamp the block to the lane-aligned sequence bound: a 512 block over a
+    # T'=250 sequence would matmul ~2x padded query rows for nothing
+    block_q = min(block_q, max(128, ((t + 127) // 128) * 128))
     scale = 1.0 / math.sqrt(d)
     bh = b * h
     qf = q.reshape(bh, t, d)
