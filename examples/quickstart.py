@@ -73,6 +73,11 @@ def main():
     for w in (res.words or [])[:3]:
         print(f"  word {w.text!r}  [{w.start:.2f}, {w.end:.2f}]")
 
+    if model.cfg.head is not None and hasattr(model.cfg.head, "decoder"):
+        print("== RNNT beam search")
+        print("  beam-4:", repr(model.transcribe(
+            f"{tmp}/short.wav", beam_size=4).text))
+
     print("== longform (VAD segmentation + batched decode)")
     long_res = model.transcribe_longform(f"{tmp}/long.wav")
     for seg in long_res:
