@@ -51,9 +51,12 @@ class BatchingASRServer:
     """Dynamic-batching inference loop around a GigaAMASR model."""
 
     def __init__(self, model: GigaAMASR, max_batch: int = 8,
-                 batch_window_ms: float = 15.0):
+                 batch_window_ms: float = 15.0, beam_size: int = 1):
         self.model = model
         self.max_batch = max_batch
+        # server-wide (not per-request): mixed beam sizes would fragment
+        # batches and multiply compiled graphs
+        self.beam_size = beam_size
         self.window = batch_window_ms / 1000.0
         self.q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
@@ -66,7 +69,8 @@ class BatchingASRServer:
         for s in seconds:
             wav = (0.01 * rng.standard_normal(SAMPLE_RATE * s)
                    ).astype(np.float32)
-            self.model._decode_batch([wav], word_timestamps=False)
+            self.model._decode_batch([wav], word_timestamps=False,
+                                     beam_size=self.beam_size)
 
     def submit(self, wav: np.ndarray, timestamps: bool,
                timeout: float = 120.0) -> _Request:
@@ -98,7 +102,8 @@ class BatchingASRServer:
         try:
             want_ts = any(r.timestamps for r in batch)
             outs = self.model._decode_batch([r.wav for r in batch],
-                                            word_timestamps=want_ts)
+                                            word_timestamps=want_ts,
+                                            beam_size=self.beam_size)
             for r, (text, words) in zip(batch, outs):
                 r.result = {"text": text}
                 if r.timestamps and words is not None:
@@ -196,13 +201,16 @@ def main(argv=None) -> None:
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--batch_window_ms", type=float, default=15.0)
     ap.add_argument("--warmup_seconds", type=int, nargs="*", default=[5, 10])
+    ap.add_argument("--beam_size", type=int, default=1,
+                    help="RNNT beam width (1 = greedy; ignored for CTC)")
     args = ap.parse_args(argv)
 
     import gigaam_tpu
 
     model = gigaam_tpu.load_model(args.model_name)
     assert isinstance(model, GigaAMASR), "ASR model required"
-    server = BatchingASRServer(model, args.max_batch, args.batch_window_ms)
+    server = BatchingASRServer(model, args.max_batch, args.batch_window_ms,
+                               beam_size=args.beam_size)
     if args.warmup_seconds:
         print(f"warming up buckets {args.warmup_seconds}...")
         server.warmup(args.warmup_seconds)

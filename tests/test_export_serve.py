@@ -215,3 +215,18 @@ def test_client_transcribe_files(tmp_path, http_server):
 
     with_ts = transcribe_files(http_server, files[:1], timestamps=True)
     assert "words" in with_ts[0]
+
+
+def test_server_beam_size(rnnt_model, tmp_path):
+    """A beam-configured server serves transcriptions end-to-end."""
+    from gigaam_tpu.audio import save_wav
+
+    srv = BatchingASRServer(rnnt_model, max_batch=2, batch_window_ms=5.0,
+                            beam_size=4)
+    try:
+        wav = (0.1 * np.random.default_rng(0)
+               .standard_normal(16000)).astype(np.float32)
+        req = srv.submit(wav, timestamps=True)
+        assert req.error is None and "text" in req.result
+    finally:
+        srv.shutdown()
