@@ -190,6 +190,12 @@ def load_model(
 
         if bf16_encoder and jax.default_backend() != "cpu":
             model.cast_encoder()
+        if device is not None:
+            # reference ``model.to(device)`` analogue
+            # (``gigaam/__init__.py:192``): "tpu", "cpu", or "tpu:1"
+            plat, _, idx = device.partition(":")
+            target = jax.devices(plat)[int(idx) if idx else 0]
+            model.params = jax.device_put(model.params, target)
         return model
 
     local = os.path.expanduser(model_name)

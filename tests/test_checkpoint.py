@@ -246,3 +246,24 @@ def test_load_model_finetuned_lightning_ckpt(tmp_path, monkeypatch):
     diff = (np.asarray(model.params["head"]["proj"]["w"])
             - np.asarray(base.params["head"]["proj"]["w"]))
     np.testing.assert_allclose(diff, 1.0, atol=1e-6)
+
+
+def test_load_model_device_placement(tmp_path, monkeypatch):
+    """device= places params on the requested device (reference .to())."""
+    import jax
+
+    import gigaam_tpu
+
+    cdn = tmp_path / "cdn"
+    cdn.mkdir()
+    ckpt = str(cdn / "v3_ctc.ckpt")
+    torch.save({"cfg": _ref_cfg_dict("ctc"), "state_dict": _ref_state_dict("ctc")},
+               ckpt)
+    monkeypatch.setattr(gigaam_tpu, "_URL_DIR", f"file://{cdn}")
+    monkeypatch.setattr(
+        gigaam_tpu, "_MODEL_HASHES",
+        {**gigaam_tpu._MODEL_HASHES, "v3_ctc": gigaam_tpu.hash_path(ckpt)})
+    model = gigaam_tpu.load_model("ctc", download_root=str(tmp_path / "c"),
+                                  device="cpu:0", compute_dtype=jnp.float32)
+    leaf = jax.tree.leaves(model.params)[0]
+    assert jax.devices("cpu")[0] in leaf.devices()
