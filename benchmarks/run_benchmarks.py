@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("--train", action="store_true",
                     help="also time fine-tune steps (CTC bf16, bs8 x 20 s)")
     ap.add_argument("--only", default=None,
-                    choices=["attention", "ctc", "rnnt", "train"],
+                    choices=["attention", "ctc", "rnnt", "relpos", "train"],
                     help="run a single section")
     args = ap.parse_args()
 
@@ -130,6 +130,24 @@ def main() -> None:
             jax.block_until_ready(
                 model._asr_fwd(model.params, batch, lens, pos))
         print(f"xprof trace written to {args.trace}")
+
+    # ---- v2 (rel-pos attention) e2e: exercises the fused rel-pos kernel
+    # with the in-VMEM shear (ops/pallas_attention.py) --------------------
+    if (not args.quick or args.only == "relpos") and want("relpos"):
+        m2 = load_model("v2_ctc", init="random")
+        for b, sec in [(8, 20)]:
+            wavs = [(0.1 * rng.standard_normal(16000 * sec))
+                    .astype(np.float32) for _ in range(b)]
+            batch, lens = pad_wav_batch(wavs)
+            batch, lens = jnp.asarray(batch), jnp.asarray(lens)
+            pos = m2._pos_for(batch.shape[1])
+            dt = device_timeit(
+                lambda w, p: m2._ctc_forward_impl(p, w, lens, pos)[0],
+                (batch, m2.params))
+            rtf = b * sec / dt
+            results[f"v2_ctc_e2e_b{b}_{sec}s"] = {
+                "ms": round(dt * 1e3, 2), "rtf": round(rtf, 0)}
+            print(f"v2_ctc e2e b{b} {sec}s: {dt * 1e3:.2f} ms  RTF {rtf:.0f}")
 
     # ---- RNNT e2e (encoder + on-device label loop) ----------------------
     if run_rnnt:

@@ -237,17 +237,18 @@ def _layer_forward(
     residual = residual + 0.5 * y
 
     y = layer_norm(lp["norm_self_att"], residual)
+    use_fused = False
+    if cfg.flash_attn:
+        from ..ops.pallas_attention import fused_attention_available
+
+        use_fused = fused_attention_available(x.shape[1])
     if cfg.self_attention_model == "rotary":
         cos, sin = pos
-        use_fused = False
-        if cfg.flash_attn:
-            from ..ops.pallas_attention import fused_attention_available
-
-            use_fused = fused_attention_available(x.shape[1])
         y = rotary_mha(lp["self_attn"], y, cos, sin, valid, cfg.n_heads,
                        use_fused=use_fused)
     else:
-        y = relpos_mha(lp["self_attn"], y, pos, valid, cfg.n_heads)
+        y = relpos_mha(lp["self_attn"], y, pos, valid, cfg.n_heads,
+                       use_fused=use_fused)
     residual = residual + y
 
     y = layer_norm(lp["norm_conv"], residual)

@@ -90,10 +90,10 @@ class GigaAM:
         self.compute_dtype = compute_dtype
         # Fused Pallas attention: our SDPA-backend analogue (the reference
         # defaults to torch SDPA on GPU, ``gigaam/encoder.py:456-462``).
-        # Auto-on for rotary models on accelerators; override via arg.
+        # Auto-on on accelerators for both attention generations (rotary
+        # via fused_mha, rel_pos via fused_relpos_mha); override via arg.
         if use_fused_attention is None:
-            use_fused_attention = (
-                on_accel and cfg.encoder.self_attention_model == "rotary")
+            use_fused_attention = on_accel
         cfg.encoder.flash_attn = bool(use_fused_attention)
         if params is None:
             params = self.init_params(jax.random.PRNGKey(seed))

@@ -64,6 +64,54 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
+def _attn_relpos_kernel(q_ref, k_ref, v_ref, qv_ref, p_ref, mask_ref, o_ref,
+                        *, scale: float, t: int, blk_q: int, n_bits: int):
+    """Fully-fused Transformer-XL relative-position attention (v1/v2).
+
+    Serves ``gigaam/encoder.py:164-230``.  The XLA formulation materializes
+    the positional term ``bd = rel_shift(q_v @ p^T)`` as a [B, H, T, 2T-1]
+    HBM object whose pad/reshape shift lowers to a relayout costing ~2.4 ms
+    per layer (chip-measured, b8 x T'=512).  Here the positional matmul runs
+    per (batch*head, q-block) against the VMEM-resident projected position
+    table ``p`` [p_pad, d], and the rel-shift becomes a log2(T)-step shear
+    on VMEM data: bias[i, j] = raw[i, (t-1) - (q0+i) + j] via one static
+    roll plus a roll+select per bit of the global query row index.  Neither
+    scores nor bias ever touch HBM (chip-measured: 1.4 ms -> vs 3.4 ms for
+    a bias-from-HBM kernel and 7.4 ms for pure XLA, whole-layer numbers).
+    """
+    q0 = pl.program_id(1) * blk_q
+    q = q_ref[0]                                   # [blk_q, d] (= q + bias_u)
+    k = k_ref[0]                                   # [T, d]
+    v = v_ref[0]
+    qv = qv_ref[0]                                 # [blk_q, d] (= q + bias_v)
+    p = p_ref[0]                                   # [p_pad, d]
+    mask = mask_ref[0]                             # [1, T] int8
+
+    raw = jax.lax.dot_general(
+        qv, p, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [blk_q, p_pad]
+    # shear in the input dtype (halves roll/select traffic at bf16); rolls
+    # are cyclic mod p_pad and p_pad >= 2t-1 so no valid index ever wraps
+    a = jnp.roll(raw.astype(qv.dtype), -(t - 1), axis=1)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0) + q0
+    for b in range(n_bits):
+        bit = (jax.lax.shift_right_logical(s_i, b) & 1) == 1
+        a = jnp.where(bit, jnp.roll(a, 1 << b, axis=1), a)
+    bias = a[:, :t].astype(jnp.float32)
+
+    s = (jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias) * scale
+    s = s + (mask.astype(jnp.float32) - 1.0) * (-NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    pr = jnp.exp(s - m)
+    denom = jnp.sum(pr, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        pr.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
 def _xla_mha(q, k, v, valid, scale):
     """XLA twin of ``_attn_kernel`` (same masking/softmax math) — used as
     the recompute target for the custom VJP below."""
@@ -77,6 +125,31 @@ def _xla_mha(q, k, v, valid, scale):
     o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32)
     return (o / denom).astype(q.dtype)
+
+
+def _xla_relpos(q_u, k, v, q_v, p_heads, valid, scale):
+    """XLA twin of ``_attn_relpos_kernel`` — VJP recompute target.
+
+    Same math as the kernel (rel_shift via pad/reshape instead of shear);
+    p_heads [H, P, d] with P = 2T - 1.
+    """
+    t = q_u.shape[2]
+    ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k,
+                    preferred_element_type=jnp.float32)
+    bd = jnp.einsum("bhqd,hpd->bhqp", q_v, p_heads,
+                    preferred_element_type=jnp.float32)
+    b, h, tt, pdim = bd.shape
+    bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    bd = bd.reshape(b, h, pdim + 1, tt)[:, :, 1:].reshape(b, h, tt, pdim)
+    s = (ac + bd[..., :t]) * scale
+    mask = valid[:, None, None, :].astype(jnp.float32)
+    s = s + (mask - 1.0) * (-NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    pr = jnp.exp(s - m)
+    denom = jnp.sum(pr, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bhkd->bhqd", pr.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    return (o / denom).astype(q_u.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -104,6 +177,31 @@ def _fused_mha_vjp_bwd(block_q, interpret, res, g):
 _fused_mha.defvjp(_fused_mha_vjp_fwd, _fused_mha_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_relpos(q_u, k, v, q_v, p_heads, valid, block_q, interpret):
+    return _fused_relpos_fwd_only(q_u, k, v, q_v, p_heads, valid, block_q,
+                                  interpret)
+
+
+def _fused_relpos_vjp_fwd(q_u, k, v, q_v, p_heads, valid, block_q, interpret):
+    out = _fused_relpos_fwd_only(q_u, k, v, q_v, p_heads, valid, block_q,
+                                 interpret)
+    return out, (q_u, k, v, q_v, p_heads, valid)
+
+
+def _fused_relpos_vjp_bwd(block_q, interpret, res, g):
+    q_u, k, v, q_v, p_heads, valid = res
+    scale = 1.0 / math.sqrt(q_u.shape[-1])
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e: _xla_relpos(a, b, c, d, e, valid, scale),
+        q_u, k, v, q_v, p_heads)
+    dq_u, dk, dv, dq_v, dp = vjp(g)
+    return dq_u, dk, dv, dq_v, dp, None
+
+
+_fused_relpos.defvjp(_fused_relpos_vjp_fwd, _fused_relpos_vjp_bwd)
+
+
 def fused_mha(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -127,6 +225,76 @@ def fused_mha(
     before any cross-time mixing (``gigaam/encoder.py:396-409``).
     """
     return _fused_mha(q, k, v, valid, block_q, interpret)
+
+
+def fused_relpos_mha(
+    q_u: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_v: jnp.ndarray,
+    p_heads: jnp.ndarray,
+    valid: jnp.ndarray,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused Transformer-XL rel-pos SDPA (v1/v2 encoder generations).
+
+    q_u/k/v/q_v [B, H, T, d] (q_u = q + pos_bias_u, q_v = q + pos_bias_v);
+    p_heads [H, 2T-1, d] per-head projected position table (positions
+    T-1 .. -(T-1)); valid [B, T] bool.  Same padded-row-garbage contract
+    and differentiability story as ``fused_mha`` (backward recomputes
+    through ``_xla_relpos``).
+    """
+    return _fused_relpos(q_u, k, v, q_v, p_heads, valid, block_q, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _fused_relpos_fwd_only(
+    q_u: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_v: jnp.ndarray,
+    p_heads: jnp.ndarray,
+    valid: jnp.ndarray,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, h, t, d = q_u.shape
+    block_q = min(block_q, max(128, ((t + 127) // 128) * 128))
+    scale = 1.0 / math.sqrt(d)
+    bh = b * h
+    # lane-align the position axis; rolls in the kernel are cyclic mod p_pad
+    # and p_pad >= 2t-1 keeps every used index unwrapped
+    p_pad = max(128, ((2 * t - 1 + 127) // 128) * 128)
+    pp = jnp.pad(p_heads, ((0, 0), (0, p_pad - p_heads.shape[1]), (0, 0)))
+    n_bits = max(1, math.ceil(math.log2(t)))
+    qf = q_u.reshape(bh, t, d)
+    kf = k.reshape(bh, t, d)
+    vf = v.reshape(bh, t, d)
+    qvf = q_v.reshape(bh, t, d)
+    mask8 = valid.astype(jnp.int8)[:, None, :]
+
+    n_q = pl.cdiv(t, block_q)
+    grid = (bh, n_q)
+    kernel = functools.partial(_attn_relpos_kernel, scale=scale, t=t,
+                               blk_q=block_q, n_bits=n_bits)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q_u.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, p_pad, d), lambda i, j: (i % h, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, j: (i // h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+    )(qf, kf, vf, qvf, pp, mask8)
+    return out.reshape(b, h, t, d)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))

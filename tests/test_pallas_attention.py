@@ -56,6 +56,80 @@ def test_fused_bf16():
     np.testing.assert_allclose(got, ref, atol=0.05)
 
 
+@pytest.mark.parametrize("t,block_q", [(128, 64), (200, 128), (64, 256)])
+def test_fused_relpos_matches_xla(t, block_q):
+    """Fully-fused rel-pos kernel (in-VMEM shear) vs its XLA twin."""
+    from gigaam_tpu.ops.pallas_attention import _xla_relpos, fused_relpos_mha
+
+    b, h, d = 2, 4, 48
+    rng = np.random.default_rng(2)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    q_u, k, v, q_v = (f32(b, h, t, d) for _ in range(4))
+    p_heads = f32(h, 2 * t - 1, d)
+    valid = np.ones((b, t), bool)
+    valid[1, t // 3:] = False
+    valid_j = jnp.asarray(valid)
+
+    ref = np.asarray(_xla_relpos(q_u, k, v, q_v, p_heads, valid_j,
+                                 1.0 / np.sqrt(d)))
+    got = np.asarray(fused_relpos_mha(q_u, k, v, q_v, p_heads, valid_j,
+                                      block_q=block_q, interpret=True))
+    for bi in range(b):
+        tv = valid[bi].sum()
+        np.testing.assert_allclose(got[bi, :, :tv], ref[bi, :, :tv],
+                                   atol=2e-5)
+
+
+def test_relpos_mha_fused_matches_plain():
+    """relpos_mha(use_fused=True) == the plain XLA relpos path, and grads
+    (incl. through the bias -> pos_bias_v/linear_pos) agree."""
+    from gigaam_tpu.ops.attention import relpos_mha
+    from gigaam_tpu.ops import pallas_attention as pa
+
+    b, t, dm, h = 2, 96, 128, 4
+    rng = np.random.default_rng(3)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    lin = lambda i, o: {"w": f32(i, o) * 0.1, "b": f32(o) * 0.1}
+    params = {
+        "linear_q": lin(dm, dm), "linear_k": lin(dm, dm),
+        "linear_v": lin(dm, dm), "linear_out": lin(dm, dm),
+        "linear_pos": {"w": f32(dm, dm) * 0.1},
+        "pos_bias_u": f32(h, dm // h) * 0.1,
+        "pos_bias_v": f32(h, dm // h) * 0.1,
+    }
+    x = f32(b, t, dm)
+    pos = f32(2 * t - 1, dm)
+    valid = np.ones((b, t), bool)
+    valid[1, 60:] = False
+    valid_j = jnp.asarray(valid)
+    vq = jnp.asarray(valid, np.float32)[:, :, None]
+
+    # interpret mode so the Pallas path runs on the CPU test platform
+    orig = pa._fused_relpos_fwd_only
+    fwd = lambda q_u, k, v, q_v, ph, vb, block_q, interpret: orig(
+        q_u, k, v, q_v, ph, vb, block_q, True)
+
+    def loss(p, fused):
+        out = relpos_mha(p, x, pos, valid_j, h, use_fused=fused)
+        return jnp.sum((out * vq) ** 2)
+
+    try:
+        pa.__dict__["_saved"] = pa._fused_relpos_fwd_only
+        pa._fused_relpos_fwd_only = fwd
+        ref, gref = jax.value_and_grad(loss)(params, False)
+        got, ggot = jax.value_and_grad(loss)(params, True)
+    finally:
+        pa._fused_relpos_fwd_only = pa.__dict__.pop("_saved")
+
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    for kk in params:
+        for leaf, (a, b_) in enumerate(zip(jax.tree.leaves(ggot[kk]),
+                                           jax.tree.leaves(gref[kk]))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-3, rtol=1e-3,
+                                       err_msg=f"{kk}[{leaf}]")
+
+
 def test_fused_mha_grad_matches_xla():
     """fused_mha must be differentiable (train step on TPU) and its custom
     VJP must match grads of the plain XLA formulation."""
