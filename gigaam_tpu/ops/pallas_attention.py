@@ -25,6 +25,8 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 try:  # pltpu only imports on TPU-enabled jaxlibs
     from jax.experimental.pallas import tpu as pltpu
@@ -259,6 +261,20 @@ def _fused_relpos_fwd_only(
     block_q: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    return _partitioned_relpos(block_q, interpret)(q_u, k, v, q_v, p_heads,
+                                                   valid)
+
+
+def _relpos_pallas(
+    q_u: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_v: jnp.ndarray,
+    p_heads: jnp.ndarray,
+    valid: jnp.ndarray,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
     b, h, t, d = q_u.shape
     block_q = min(block_q, max(128, ((t + 127) // 128) * 128))
     scale = 1.0 / math.sqrt(d)
@@ -297,8 +313,98 @@ def _fused_relpos_fwd_only(
     return out.reshape(b, h, t, d)
 
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning
+#
+# Under pjit over a multi-device Mesh, a bare pallas_call has no partitioning
+# rule: the SPMD partitioner all-gathers its operands and replicates the
+# kernel on every device — a silent scaling cliff for data-parallel inference
+# and mesh-sharded training (verified on an 8-device host mesh: output came
+# back with an empty PartitionSpec).  custom_partitioning teaches XLA that
+# the kernels are elementwise in (batch, head) and need (t, d) — and p for
+# rel-pos — replicated, so batch-DP and head-TP shard cleanly with no
+# collectives around the kernel.
+# ---------------------------------------------------------------------------
+
+
+def _bh_sharding(sharding, mesh, rank_tail: int = 2):
+    """Keep the (b, h) axis specs of ``sharding``, replicate the rest."""
+    spec = sharding.spec
+    b_s = spec[0] if len(spec) > 0 else None
+    h_s = spec[1] if len(spec) > 1 else None
+    return NamedSharding(mesh, PartitionSpec(b_s, h_s, *(None,) * rank_tail))
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_mha(block_q: int, interpret: bool):
+    def impl(q, k, v, valid):
+        return _mha_pallas(q, k, v, valid, block_q, interpret)
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        q_sh = arg_shapes[0].sharding
+        qkv = _bh_sharding(q_sh, mesh)
+        b_s = q_sh.spec[0] if len(q_sh.spec) > 0 else None
+        valid_sh = NamedSharding(mesh, PartitionSpec(b_s, None))
+        return mesh, impl, qkv, (qkv, qkv, qkv, valid_sh)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _bh_sharding(arg_shapes[0].sharding, mesh)
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b h t d, b h t d, b h t d, b t -> b h t d",
+        need_replication_factors=("t", "d"),
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_relpos(block_q: int, interpret: bool):
+    def impl(q_u, k, v, q_v, p_heads, valid):
+        return _relpos_pallas(q_u, k, v, q_v, p_heads, valid, block_q,
+                              interpret)
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        q_sh = arg_shapes[0].sharding
+        qkv = _bh_sharding(q_sh, mesh)
+        spec = q_sh.spec
+        b_s = spec[0] if len(spec) > 0 else None
+        h_s = spec[1] if len(spec) > 1 else None
+        p_sh = NamedSharding(mesh, PartitionSpec(h_s, None, None))
+        valid_sh = NamedSharding(mesh, PartitionSpec(b_s, None))
+        return mesh, impl, qkv, (qkv, qkv, qkv, qkv, p_sh, valid_sh)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _bh_sharding(arg_shapes[0].sharding, mesh)
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=("b h t d, b h t d, b h t d, b h t d, h p d, b t "
+                       "-> b h t d"),
+        need_replication_factors=("t", "d", "p"),
+    )
+    return f
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
 def _fused_mha_fwd_only(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    valid: jnp.ndarray,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    return _partitioned_mha(block_q, interpret)(q, k, v, valid)
+
+
+def _mha_pallas(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,

@@ -130,6 +130,57 @@ def test_relpos_mha_fused_matches_plain():
                                        err_msg=f"{kk}[{leaf}]")
 
 
+def test_fused_kernels_shard_over_mesh(monkeypatch):
+    """Under pjit over a Mesh the kernels must partition over (batch, head)
+    — not silently all-gather and replicate (the default for a bare
+    pallas_call).  Verifies output sharding and numerics for batch-DP and
+    head-TP on the 8-device host mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gigaam_tpu.ops import pallas_attention as pa
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    # route the kernels through interpret mode on CPU
+    om, orp = pa._mha_pallas, pa._relpos_pallas
+    monkeypatch.setattr(pa, "_mha_pallas",
+                        lambda q, k, v, m, bq, it: om(q, k, v, m, bq, True))
+    monkeypatch.setattr(pa, "_relpos_pallas",
+                        lambda *a: orp(*a[:7], True))
+    pa._partitioned_mha.cache_clear()
+    pa._partitioned_relpos.cache_clear()
+
+    b, h, t, d = 8, 4, 128, 48
+    rng = np.random.default_rng(7)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    q, k, v, qv = (f32(b, h, t, d) for _ in range(4))
+    ph = f32(h, 2 * t - 1, d)
+    valid = jnp.ones((b, t), bool)
+
+    ref_mha = np.asarray(pa.fused_mha(q, k, v, valid, interpret=True))
+    ref_rp = np.asarray(pa.fused_relpos_mha(q, k, v, qv, ph, valid,
+                                            interpret=True))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "model"))
+    dp = NamedSharding(mesh, P("data"))
+    dptp = NamedSharding(mesh, P("data", "model"))
+    qs, ks, vs, qvs = (jax.device_put(x, dptp) for x in (q, k, v, qv))
+    phs = jax.device_put(ph, NamedSharding(mesh, P("model")))
+    vals = jax.device_put(valid, dp)
+
+    out = jax.jit(pa.fused_mha)(qs, ks, vs, vals)
+    assert out.sharding.spec == P("data", "model"), out.sharding
+    np.testing.assert_allclose(np.asarray(out), ref_mha, atol=1e-5)
+
+    out2 = jax.jit(pa.fused_relpos_mha)(qs, ks, vs, qvs, phs, vals)
+    assert out2.sharding.spec == P("data", "model"), out2.sharding
+    np.testing.assert_allclose(np.asarray(out2), ref_rp, atol=1e-5)
+
+    pa._partitioned_mha.cache_clear()
+    pa._partitioned_relpos.cache_clear()
+
+
 def test_fused_mha_grad_matches_xla():
     """fused_mha must be differentiable (train step on TPU) and its custom
     VJP must match grads of the plain XLA formulation."""

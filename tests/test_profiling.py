@@ -1,0 +1,49 @@
+"""Smoke tests for the profiling utilities (CPU).
+
+The reference has no in-repo tracing/timing (SURVEY.md §5); ours is a
+first-class deliverable, so pin its contract: device_timeit returns a
+sane positive per-iteration time in both accumulate and chain modes, and
+trace() produces a profiler artifact directory.
+"""
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gigaam_tpu.profiling import device_timeit, trace
+
+
+def _mm(a, b):
+    return jnp.tanh(a @ b)
+
+
+def test_device_timeit_accumulate_mode():
+    a = jnp.asarray(np.random.default_rng(0).standard_normal((64, 64)),
+                    jnp.float32)
+    b = jnp.asarray(np.random.default_rng(1).standard_normal((64, 64)),
+                    jnp.float32)
+    dt = device_timeit(_mm, (a, b), k=3, windows=1, reps=2)
+    assert 0.0 < dt < 1.0
+
+
+def test_device_timeit_chain_mode():
+    a = jnp.asarray(np.random.default_rng(0).standard_normal((32, 32)),
+                    jnp.float32)
+    b = jnp.asarray(np.random.default_rng(1).standard_normal((32, 32)),
+                    jnp.float32)
+    dt = device_timeit(_mm, (a, b), k=3, windows=1, reps=2, chain=True)
+    assert 0.0 < dt < 1.0
+
+
+def test_trace_writes_profile(tmp_path):
+    log_dir = str(tmp_path / "prof")
+    with trace(log_dir):
+        x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+        x.block_until_ready()
+    # jax writes plugins/profile/<ts>/ under the log dir
+    found = []
+    for root, _dirs, files in os.walk(log_dir):
+        found.extend(files)
+    assert found, "trace() produced no profiler artifacts"
