@@ -33,7 +33,8 @@ def main() -> None:
     ap.add_argument("--train", action="store_true",
                     help="also time fine-tune steps (CTC bf16, bs8 x 20 s)")
     ap.add_argument("--only", default=None,
-                    choices=["attention", "ctc", "rnnt", "relpos", "train"],
+                    choices=["attention", "ctc", "rnnt", "relpos", "emo",
+                             "encoder128", "train"],
                     help="run a single section")
     args = ap.parse_args()
 
@@ -95,7 +96,7 @@ def main() -> None:
     # ---- encoder + e2e --------------------------------------------------
     model = load_model("v3_ctc", init="random") if want("ctc") else None
     enc_points = ([(1, 10), (8, 20)] if args.quick else [(1, 10), (8, 20),
-                                                         (8, 30)])
+                                                         (8, 30), (32, 20)])
     if not want("ctc"):
         enc_points = []
     for b, sec in enc_points:
@@ -148,6 +149,8 @@ def main() -> None:
             results[f"v2_ctc_e2e_b{b}_{sec}s"] = {
                 "ms": round(dt * 1e3, 2), "rtf": round(rtf, 0)}
             print(f"v2_ctc e2e b{b} {sec}s: {dt * 1e3:.2f} ms  RTF {rtf:.0f}")
+        del m2
+        import gc; gc.collect()
 
     # ---- RNNT e2e (encoder + on-device label loop) ----------------------
     if run_rnnt:
@@ -193,6 +196,46 @@ def main() -> None:
                 "ms": round(dt * 1e3, 2), "rtf": round(b * sec / dt, 0)}
             print(f"v3_rnnt e2e b{b} {sec}s: enc {dt_enc * 1e3:.2f} + dec "
                   f"{dt_dec * 1e3:.2f} ms  RTF {b * sec / dt:.0f}")
+        del rnnt, head
+        import gc; gc.collect()
+
+    # ---- emo classification (encoder + masked mean-pool + linear head) --
+    if (not args.quick or args.only == "emo") and want("emo"):
+        emo = load_model("emo", init="random")
+        b, sec = 8, 10
+        wavs = [(0.1 * rng.standard_normal(16000 * sec)).astype(np.float32)
+                for _ in range(b)]
+        batch, lens = pad_wav_batch(wavs)
+        batch, lens = jnp.asarray(batch), jnp.asarray(lens)
+        pos = emo._pos_for(batch.shape[1])
+        dt = device_timeit(
+            lambda w, p: emo._probs_impl(p, w, lens, pos),
+            (batch, emo.params))
+        rtf = b * sec / dt
+        results[f"emo_probs_b{b}_{sec}s"] = {
+            "ms": round(dt * 1e3, 2), "rtf": round(rtf, 0)}
+        print(f"emo probs b{b} {sec}s: {dt * 1e3:.2f} ms  RTF {rtf:.0f}")
+        del emo
+        import gc; gc.collect()
+
+    # ---- encoder-only forward at the reference table's largest point
+    # (bs128 x 30 s; evaluation.md:61-67 reports 294-324 ms on CUDA) ------
+    if args.only == "encoder128" or (want("encoder128") and not args.quick
+                                     and args.train):
+        m = model or load_model("v3_ctc", init="random")
+        b, sec = 128, 30
+        wavs = [(0.1 * rng.standard_normal(16000 * sec)).astype(np.float32)
+                for _ in range(b)]
+        batch, lens = pad_wav_batch(wavs)
+        batch, lens = jnp.asarray(batch), jnp.asarray(lens)
+        pos = m._pos_for(batch.shape[1])
+        dt = device_timeit(
+            lambda w, p: m._encode_impl(p, w, lens, pos)[0],
+            (batch, m.params), k=5)
+        results[f"v3_encoder_b{b}_{sec}s"] = {
+            "ms": round(dt * 1e3, 2), "rtf": round(b * sec / dt, 0)}
+        print(f"v3 encoder b{b} {sec}s: {dt * 1e3:.2f} ms  "
+              f"RTF {b * sec / dt:.0f} (reference CUDA: 294-324 ms)")
 
     # ---- fine-tune step (reference anchor: ~4 min/epoch, bs64 bf16,
     # 2 GPUs ~ example.ipynb; here: audio-seconds trained /s/chip) ---------

@@ -114,6 +114,101 @@ def _attn_relpos_kernel(q_ref, k_ref, v_ref, qv_ref, p_ref, mask_ref, o_ref,
     o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
+_BWD_MAX_T = 768  # full [T,T] probs/grads live in VMEM (covers T'<=750)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mask_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Flash-style backward for the masked-SDPA kernel: recompute the
+    probabilities in VMEM, then the standard softmax/matmul VJP — neither
+    scores, probs, nor their grads ever touch HBM.  One grid cell per
+    (batch*head); [T, T] fp32 intermediates bound T to ``_BWD_MAX_T``.
+    """
+    q = q_ref[0]                                   # [T, d]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    mask = mask_ref[0]                             # [1, T] int8
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = s + (mask.astype(jnp.float32) - 1.0) * (-NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    prob = p / jnp.sum(p, axis=-1, keepdims=True)  # [Tq, Tk] f32
+
+    prob_l = prob.astype(v.dtype)
+    dv = jax.lax.dot_general(
+        prob_l, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [Tk, d]
+    dprob = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [Tq, Tk]
+    row = jnp.sum(dprob * prob, axis=-1, keepdims=True)
+    ds = (prob * (dprob - row)) * scale
+    ds_l = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds_l, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds_l, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _mha_bwd_pallas(q, k, v, do, valid, interpret):
+    b, h, t, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    bh = b * h
+    qf, kf, vf, dof = (x.reshape(bh, t, d) for x in (q, k, v, do))
+    mask8 = valid.astype(jnp.int8)[:, None, :]
+    kernel = functools.partial(_attn_bwd_kernel, scale=scale)
+    out_sds = jax.ShapeDtypeStruct((bh, t, d), q.dtype)
+    spec = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(out_sds, out_sds, out_sds),
+        grid=(bh,),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((1, 1, t), lambda i: (i // h, 0, 0))],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(qf, kf, vf, dof, mask8)
+    rs = lambda x: x.reshape(b, h, t, d)
+    return rs(dq), rs(dk), rs(dv)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_mha_bwd(interpret: bool):
+    def impl(q, k, v, do, valid):
+        return _mha_bwd_pallas(q, k, v, do, valid, interpret)
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        q_sh = arg_shapes[0].sharding
+        qkv = _bh_sharding(q_sh, mesh)
+        b_s = q_sh.spec[0] if len(q_sh.spec) > 0 else None
+        valid_sh = NamedSharding(mesh, PartitionSpec(b_s, None))
+        return mesh, impl, (qkv, qkv, qkv), (qkv, qkv, qkv, qkv, valid_sh)
+
+    def infer(mesh, arg_shapes, result_shape):
+        sh = _bh_sharding(arg_shapes[0].sharding, mesh)
+        return (sh, sh, sh)
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=("b h t d, b h t d, b h t d, b h t d, b t "
+                       "-> b h t d, b h t d, b h t d"),
+        need_replication_factors=("t", "d"),
+    )
+    return f
+
+
 def _xla_mha(q, k, v, valid, scale):
     """XLA twin of ``_attn_kernel`` (same masking/softmax math) — used as
     the recompute target for the custom VJP below."""
@@ -127,6 +222,175 @@ def _xla_mha(q, k, v, valid, scale):
     o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32)
     return (o / denom).astype(q.dtype)
+
+
+def _attn_relpos_bwd_kernel(q_ref, k_ref, v_ref, qv_ref, p_ref, do_ref,
+                            mask_ref, dq_ref, dk_ref, dv_ref, dqv_ref,
+                            dp_ref, *, scale: float, t: int, n_bits: int):
+    """Backward of ``_attn_relpos_kernel``.
+
+    Recomputes scores (incl. the in-VMEM shear of the positional term),
+    runs the softmax/matmul VJP, then *unshears* the bias gradient
+    (the same log2(T)-step roll trick in the opposite direction) to get
+    the gradients of the positional query and the projected position
+    table.  ``dp`` is accumulated across the batch: the grid is (h, b)
+    with b innermost, so all cells of one head revisit the same fp32
+    output block consecutively.
+    """
+    ib = pl.program_id(1)
+    q = q_ref[0]                                   # [T, d] (= q + bias_u)
+    k = k_ref[0]
+    v = v_ref[0]
+    qv = qv_ref[0]                                 # [T, d] (= q + bias_v)
+    p = p_ref[0]                                   # [p_pad, d]
+    do = do_ref[0]
+    mask = mask_ref[0]                             # [1, T] int8
+
+    # recompute scores: content + sheared positional term (as in forward)
+    raw = jax.lax.dot_general(
+        qv, p, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    a = jnp.roll(raw.astype(qv.dtype), -(t - 1), axis=1)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    for b in range(n_bits):
+        bit = (jax.lax.shift_right_logical(s_i, b) & 1) == 1
+        a = jnp.where(bit, jnp.roll(a, 1 << b, axis=1), a)
+    bias = a[:, :t].astype(jnp.float32)
+
+    s = (jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias) * scale
+    s = s + (mask.astype(jnp.float32) - 1.0) * (-NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    prob = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    prob_l = prob.astype(v.dtype)
+    dv = jax.lax.dot_general(
+        prob_l, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dprob = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    row = jnp.sum(dprob * prob, axis=-1, keepdims=True)
+    dz = (prob * (dprob - row)) * scale            # grad of (qk + bias)
+    dz_l = dz.astype(q.dtype)
+    dq = jax.lax.dot_general(
+        dz_l, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        dz_l, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # unshear: d_raw[i, c] = dz[i, c - (t-1) + i] (zero outside [0, t))
+    p_pad = p.shape[0]
+    dzp = jnp.pad(dz_l, ((0, 0), (0, p_pad - t)))
+    g = jnp.roll(dzp, t - 1, axis=1)
+    for b in range(n_bits):
+        bit = (jax.lax.shift_right_logical(s_i, b) & 1) == 1
+        g = jnp.where(bit, jnp.roll(g, -(1 << b), axis=1), g)
+    dqv = jax.lax.dot_general(
+        g, p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp_c = jax.lax.dot_general(
+        g, qv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [p_pad, d]
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dqv_ref[0] = dqv.astype(dqv_ref.dtype)
+
+    @pl.when(ib == 0)
+    def _init():
+        dp_ref[0] = dp_c
+
+    @pl.when(ib > 0)
+    def _acc():
+        dp_ref[0] += dp_c
+
+
+def _relpos_bwd_pallas(q_u, k, v, q_v, p_heads, do, valid, interpret):
+    b, h, t, d = q_u.shape
+    scale = 1.0 / math.sqrt(d)
+    bh = b * h
+    p_len = p_heads.shape[1]
+    p_pad = max(128, ((2 * t - 1 + 127) // 128) * 128)
+    pp = jnp.pad(p_heads, ((0, 0), (0, p_pad - p_len), (0, 0)))
+    n_bits = max(1, math.ceil(math.log2(t)))
+    qf, kf, vf, qvf, dof = (x.reshape(bh, t, d)
+                            for x in (q_u, k, v, q_v, do))
+    mask8 = valid.astype(jnp.int8)[:, None, :]
+    kernel = functools.partial(_attn_relpos_bwd_kernel, scale=scale, t=t,
+                               n_bits=n_bits)
+    sds = jax.ShapeDtypeStruct((bh, t, d), q_u.dtype)
+    # grid (h, b): b is the innermost grid dim, so per-head dp blocks are
+    # revisited consecutively and accumulate in VMEM
+    spec = pl.BlockSpec((1, t, d), lambda ih, ib: (ib * h + ih, 0, 0))
+    dq, dk, dv, dqv, dp = pl.pallas_call(
+        kernel,
+        out_shape=(sds, sds, sds, sds,
+                   jax.ShapeDtypeStruct((h, p_pad, d), jnp.float32)),
+        grid=(h, b),
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((1, p_pad, d), lambda ih, ib: (ih, 0, 0)),
+                  spec,
+                  pl.BlockSpec((1, 1, t), lambda ih, ib: (ib, 0, 0))],
+        out_specs=(spec, spec, spec, spec,
+                   pl.BlockSpec((1, p_pad, d), lambda ih, ib: (ih, 0, 0))),
+        interpret=interpret,
+    )(qf, kf, vf, qvf, pp, dof, mask8)
+    rs = lambda x: x.reshape(b, h, t, d)
+    return (rs(dq), rs(dk), rs(dv), rs(dqv),
+            dp[:, :p_len].astype(p_heads.dtype))
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_relpos_bwd(interpret: bool):
+    def impl(q_u, k, v, q_v, p_heads, do, valid):
+        return _relpos_bwd_pallas(q_u, k, v, q_v, p_heads, do, valid,
+                                  interpret)
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        q_sh = arg_shapes[0].sharding
+        qkv = _bh_sharding(q_sh, mesh)
+        spec = q_sh.spec
+        b_s = spec[0] if len(spec) > 0 else None
+        h_s = spec[1] if len(spec) > 1 else None
+        p_sh = NamedSharding(mesh, PartitionSpec(h_s, None, None))
+        valid_sh = NamedSharding(mesh, PartitionSpec(b_s, None))
+        # dp sums over the batch — when b is sharded, each shard holds a
+        # partial sum that must be all-reduced over the batch mesh axes
+        b_axes = ((b_s,) if isinstance(b_s, str) else tuple(b_s or ()))
+
+        def lower_fn(q_u, k, v, q_v, p_heads, do, valid):
+            dq, dk, dv, dqv, dp = impl(q_u, k, v, q_v, p_heads, do, valid)
+            if b_axes:
+                dp = jax.lax.psum(dp, b_axes)
+            return dq, dk, dv, dqv, dp
+
+        return (mesh, lower_fn, (qkv, qkv, qkv, qkv, p_sh),
+                (qkv, qkv, qkv, qkv, p_sh, qkv, valid_sh))
+
+    def infer(mesh, arg_shapes, result_shape):
+        q_sh = arg_shapes[0].sharding
+        qkv = _bh_sharding(q_sh, mesh)
+        h_s = q_sh.spec[1] if len(q_sh.spec) > 1 else None
+        p_sh = NamedSharding(mesh, PartitionSpec(h_s, None, None))
+        return (qkv, qkv, qkv, qkv, p_sh)
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=("b h t d, b h t d, b h t d, b h t d, h p d, "
+                       "b h t d, b t -> b h t d, b h t d, b h t d, "
+                       "b h t d, h p d"),
+        need_replication_factors=("t", "d", "p"),
+        reduction_factors=("b",),
+    )
+    return f
 
 
 def _xla_relpos(q_u, k, v, q_v, p_heads, valid, scale):
@@ -165,10 +429,14 @@ def _fused_mha_vjp_fwd(q, k, v, valid, block_q, interpret):
 
 
 def _fused_mha_vjp_bwd(block_q, interpret, res, g):
-    # Backward = differentiate the mathematically identical XLA attention
-    # (flash-style recompute: scores are cheap to rebuild, and a hand-rolled
-    # Pallas backward is not worth it for T' <= 750 speech sequences).
     q, k, v, valid = res
+    t = q.shape[2]
+    if t <= _BWD_MAX_T and (interpret or fused_attention_available(t)):
+        # flash-style Pallas backward: recompute probs in VMEM, full VJP
+        # on-chip (scores/probs/grads never reach HBM)
+        dq, dk, dv = _partitioned_mha_bwd(interpret)(q, k, v, g, valid)
+        return dq, dk, dv, None
+    # fallback: differentiate the mathematically identical XLA attention
     scale = 1.0 / math.sqrt(q.shape[-1])
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_mha(q_, k_, v_, valid, scale),
                      q, k, v)
@@ -193,6 +461,13 @@ def _fused_relpos_vjp_fwd(q_u, k, v, q_v, p_heads, valid, block_q, interpret):
 
 def _fused_relpos_vjp_bwd(block_q, interpret, res, g):
     q_u, k, v, q_v, p_heads, valid = res
+    t = q_u.shape[2]
+    if t <= _BWD_MAX_T and (interpret or fused_attention_available(t)):
+        # Pallas backward with in-VMEM shear/unshear — the XLA fallback's
+        # rel_shift relayouts cost ~2x the whole v3 train step (PERF.md)
+        dq_u, dk, dv, dq_v, dp = _partitioned_relpos_bwd(interpret)(
+            q_u, k, v, q_v, p_heads, g, valid)
+        return dq_u, dk, dv, dq_v, dp, None
     scale = 1.0 / math.sqrt(q_u.shape[-1])
     _, vjp = jax.vjp(
         lambda a, b, c, d, e: _xla_relpos(a, b, c, d, e, valid, scale),
@@ -276,7 +551,12 @@ def _relpos_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, t, d = q_u.shape
-    block_q = min(block_q, max(128, ((t + 127) // 128) * 128))
+    # balance the q-blocks: for t just past a block boundary (e.g. T'=750
+    # with block_q=512) a naive clamp leaves the last block mostly padding
+    # (512+238 -> 53% waste); instead split t evenly into the same number of
+    # blocks, rounded up to the 128-sublane tile (750 -> 2 x 384, 2% waste)
+    n_q = max(1, -(-t // block_q))
+    block_q = max(128, (-(-t // n_q) + 127) // 128 * 128)
     scale = 1.0 / math.sqrt(d)
     bh = b * h
     # lane-align the position axis; rolls in the kernel are cyclic mod p_pad
@@ -415,7 +695,12 @@ def _mha_pallas(
     b, h, t, d = q.shape
     # clamp the block to the lane-aligned sequence bound: a 512 block over a
     # T'=250 sequence would matmul ~2x padded query rows for nothing
-    block_q = min(block_q, max(128, ((t + 127) // 128) * 128))
+    # balance the q-blocks: for t just past a block boundary (e.g. T'=750
+    # with block_q=512) a naive clamp leaves the last block mostly padding
+    # (512+238 -> 53% waste); instead split t evenly into the same number of
+    # blocks, rounded up to the 128-sublane tile (750 -> 2 x 384, 2% waste)
+    n_q = max(1, -(-t // block_q))
+    block_q = max(128, (-(-t // n_q) + 127) // 128 * 128)
     scale = 1.0 / math.sqrt(d)
     bh = b * h
     qf = q.reshape(bh, t, d)

@@ -181,6 +181,38 @@ def test_fused_kernels_shard_over_mesh(monkeypatch):
     pa._partitioned_relpos.cache_clear()
 
 
+def test_fused_relpos_grad_matches_xla():
+    """The rel-pos Pallas backward (shear/unshear in VMEM) must match the
+    grads of the XLA formulation for every input incl. the projected
+    position table."""
+    from gigaam_tpu.ops.pallas_attention import _xla_relpos, fused_relpos_mha
+
+    b, h, t, d = 2, 4, 128, 48
+    rng = np.random.default_rng(4)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    q_u, k, v, q_v = (f32(b, h, t, d) for _ in range(4))
+    p_heads = f32(h, 2 * t - 1, d)
+    valid = np.ones((b, t), bool)
+    valid[1, t // 2:] = False
+    valid_j = jnp.asarray(valid)
+    vq = jnp.asarray(valid, np.float32)[:, None, :, None]  # zero padded rows
+
+    def loss_fused(*a):
+        return jnp.sum((fused_relpos_mha(*a, valid_j, interpret=True)
+                        * vq) ** 2)
+
+    def loss_xla(*a):
+        return jnp.sum((_xla_relpos(*a, valid_j, 1.0 / np.sqrt(d))
+                        * vq) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q_u, k, v, q_v,
+                                                       p_heads)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q_u, k, v, q_v, p_heads)
+    for name, a, b_ in zip("q_u k v q_v p".split(), gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-3, rtol=1e-3, err_msg=name)
+
+
 def test_fused_mha_grad_matches_xla():
     """fused_mha must be differentiable (train step on TPU) and its custom
     VJP must match grads of the plain XLA formulation."""
