@@ -95,6 +95,11 @@ class GigaAM:
         if use_fused_attention is None:
             use_fused_attention = on_accel
         cfg.encoder.flash_attn = bool(use_fused_attention)
+        # int16 audio wire format for host->device transfers (see
+        # ``_device_batch``).  Off by default: on the tunneled dev TPU the
+        # host-side quantize costs more than the halved transfer saves;
+        # enable for production hosts where PCIe DMA is the bottleneck.
+        self._int16_wire = False
         if params is None:
             params = self.init_params(jax.random.PRNGKey(seed))
         self.params = params
@@ -129,6 +134,15 @@ class GigaAM:
         return wavs, pad
 
     def _device_batch(self, batch: np.ndarray, lens: np.ndarray):
+        # optional int16 wire format: audio is 16-bit at the source
+        # (``load_audio`` divides s16 by 32768), so quantizing back for the
+        # host->device hop halves transfer bytes at <=1.5e-5 amplitude
+        # error; the jitted forward dequantizes on device
+        # (``_encode_impl``).  A PCIe-bandwidth knob for production hosts.
+        if (self._int16_wire and isinstance(batch, np.ndarray)
+                and batch.dtype == np.float32):
+            batch = np.clip(np.rint(batch * 32768.0), -32768, 32767).astype(
+                np.int16)
         b = jnp.asarray(batch)
         l = jnp.asarray(lens)
         if self.mesh is not None:
@@ -163,6 +177,8 @@ class GigaAM:
     # -- forward -----------------------------------------------------------
 
     def _encode_impl(self, params, wavs, lengths, pos):
+        if wavs.dtype == jnp.int16:  # int16 wire format (``_device_batch``)
+            wavs = wavs.astype(jnp.float32) * (1.0 / 32768.0)
         feats, feat_lens = self.frontend.forward(wavs, lengths)
         feats = jnp.transpose(feats, (0, 2, 1))  # [B, T, F]
         encoded, enc_lens, _ = conformer_forward(

@@ -41,9 +41,12 @@ def energy_speech_regions(
         return [(0.0, len(wav) / sr)] if len(wav) else []
 
     n = (len(wav) - frame) // hop + 1
-    idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
-    frames = wav[idx]
-    rms = np.sqrt((frames * frames).mean(axis=1) + 1e-12)
+    # frame energies via a cumulative sum over wav^2 — O(N), no [n, frame]
+    # gather (the materialized-frames version cost ~1.4 s for 10 min of
+    # audio and dominated longform wall time)
+    cs = np.concatenate(([0.0], np.cumsum(np.square(wav, dtype=np.float64))))
+    starts = np.arange(n) * hop
+    rms = np.sqrt((cs[starts + frame] - cs[starts]) / frame + 1e-12)
     db = 20.0 * np.log10(rms + 1e-12)
 
     floor = np.percentile(db, 10)
@@ -54,23 +57,21 @@ def energy_speech_regions(
     speech = db > thresh
 
     # hangover smoothing: keep speech on for hangover frames after activity
+    # (vectorized: frame i is on iff some speech frame lies within the last
+    # ``hang`` frames — distance to the most recent speech frame < hang)
     hang = max(1, int(hangover_ms / hop_ms))
-    smoothed = np.zeros_like(speech)
-    run = 0
-    for i, s in enumerate(speech):
-        run = hang if s else max(0, run - 1)
-        smoothed[i] = run > 0
+    last = np.maximum.accumulate(np.where(speech, np.arange(n), -1))
+    smoothed = (last >= 0) & (np.arange(n) - last < hang)
 
+    # region extraction from on/off transitions
+    padded = np.concatenate(([False], smoothed, [False]))
+    edges = np.flatnonzero(np.diff(padded.astype(np.int8)))
     regions: List[Region] = []
-    start: Optional[int] = None
-    for i, s in enumerate(smoothed):
-        if s and start is None:
-            start = i
-        elif not s and start is not None:
-            regions.append((start * hop / sr, (i * hop + frame) / sr))
-            start = None
-    if start is not None:
-        regions.append((start * hop / sr, len(wav) / sr))
+    for on, off in zip(edges[0::2], edges[1::2]):
+        if off >= n:  # ran to the end of the signal
+            regions.append((on * hop / sr, len(wav) / sr))
+        else:
+            regions.append((on * hop / sr, (off * hop + frame) / sr))
 
     min_len = min_speech_ms / 1000.0
     return [(s, e) for s, e in regions if e - s >= min_len]

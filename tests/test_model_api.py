@@ -94,6 +94,17 @@ def test_ctc_transcribe(wav_file):
     assert model.transcribe(wav_file).text == res.text
 
 
+def test_int16_wire_matches_f32(wav_file):
+    """The accelerator int16 wire format (host quantize -> device dequant)
+    must not change the transcription (audio is 16-bit at the source, so
+    the round trip is exact for loaded files)."""
+    model = GigaAMASR(tiny_ctc_cfg(), seed=0)
+    assert model._int16_wire is False  # opt-in knob, off by default
+    ref = model.transcribe(wav_file).text
+    model._int16_wire = True
+    assert model.transcribe(wav_file).text == ref
+
+
 def test_ctc_transcribe_with_timestamps(wav_file):
     model = GigaAMASR(tiny_ctc_cfg(), seed=3)
     res = model.transcribe(wav_file, word_timestamps=True)
