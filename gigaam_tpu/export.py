@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
-from .config import CTCHeadConfig, ModelConfig, RNNTHeadConfig
+from .config import CTCHeadConfig, EmoHeadConfig, ModelConfig, RNNTHeadConfig
 from .frontend import num_frames
 from .models import heads as heads_lib
 from .models.model import GigaAM, GigaAMASR
@@ -107,6 +107,18 @@ def export_model(
                 write(f"{name}_ctc_b{b}_t{t_feat}.shlo",
                       _export_fn(ctc_fn, feats_spec),
                       {"graph": "ctc", "batch": b, "t_feat": t_feat,
+                       "t_sub": t_sub})
+            elif isinstance(getattr(cfg, "head", None), EmoHeadConfig):
+                # fused features -> class probs graph (the reference's emo
+                # ONNX + host softmax path, ``gigaam/onnx_utils.py``)
+                def emo_fn(feats, lengths):
+                    enc, enc_lens = encoder_fn(feats, lengths, pos)
+                    return heads_lib.emo_probs(
+                        model.params["head"], enc, enc_lens)
+
+                write(f"{name}_probs_b{b}_t{t_feat}.shlo",
+                      _export_fn(emo_fn, feats_spec),
+                      {"graph": "probs", "batch": b, "t_feat": t_feat,
                        "t_sub": t_sub})
             else:
                 def enc_only(feats, lengths):

@@ -105,19 +105,15 @@ def _pick_graph(graphs: Sequence[ExportedGraph], n: int,
     return min(fitting, key=lambda g: (g.meta["t_feat"], g.meta["batch"]))
 
 
-class ExportedASR:
-    """Callable ASR over an exported artifact dir (no model params/code)."""
+class _ExportedBase:
+    """Shared frontend/bucketing over an exported artifact dir."""
 
     def __init__(self, artifact_dir: str):
         self.cfg: ModelConfig
         self.cfg, self.graphs = load_exported(artifact_dir)
-        dec = self.cfg.decoding
-        assert dec is not None, "exported artifact has no decoding config"
-        self.tokenizer = Tokenizer(dec.vocabulary or [], dec.model_path)
         self.frontend = LogMelFrontend(self.cfg.preprocessor)
-        self.is_ctc = "ctc" in self.graphs
 
-    def transcribe_batch(self, wavs: List[np.ndarray]) -> List[str]:
+    def _features(self, wavs: List[np.ndarray]):
         import jax.numpy as jnp
 
         n = len(wavs)
@@ -127,18 +123,58 @@ class ExportedASR:
         for i, w in enumerate(wavs):
             batch[i, : len(w)] = w
             lens[i] = len(w)
-
-        feats, feat_lens = self.frontend(jnp.asarray(batch), jnp.asarray(lens))
+        feats, feat_lens = self.frontend(jnp.asarray(batch),
+                                         jnp.asarray(lens))
         feats = np.asarray(jnp.transpose(feats, (0, 2, 1)))  # [B, T, F]
-        feat_lens = np.asarray(feat_lens)
+        return feats, np.asarray(feat_lens)
 
-        kind = "ctc" if self.is_ctc else "encoder"
+    def _bucketed(self, kind: str, feats: np.ndarray, feat_lens: np.ndarray):
+        n = feats.shape[0]
         g = _pick_graph(self.graphs[kind], n, feats.shape[1])
         gb, gt = g.meta["batch"], g.meta["t_feat"]
         pad = np.zeros((gb, gt, feats.shape[2]), np.float32)
         pad[:n, : feats.shape[1]] = feats
         pad_lens = np.zeros((gb,), np.int32)
         pad_lens[:n] = feat_lens
+        return g, pad, pad_lens
+
+
+class ExportedClassifier(_ExportedBase):
+    """Emo probs / SSL embeddings from artifacts alone (the reference's
+    non-ASR ``infer_onnx`` families, ``gigaam/onnx_utils.py:204-242``)."""
+
+    def infer_batch(self, wavs: List[np.ndarray]) -> List[np.ndarray]:
+        n = len(wavs)
+        feats, feat_lens = self._features(wavs)
+        kind = "probs" if "probs" in self.graphs else "encoder"
+        g, pad, pad_lens = self._bucketed(kind, feats, feat_lens)
+        if kind == "probs":  # emo: [B, n_classes]
+            out = g(pad, pad_lens)
+            probs = np.asarray(out[0] if isinstance(out, tuple) else out)
+            return [probs[i] for i in range(n)]
+        encoded, enc_lens = g(pad, pad_lens)
+        encoded = np.asarray(encoded)
+        enc_lens = np.asarray(enc_lens)
+        # ssl embeddings, time-major [T', D] per item
+        return [encoded[i, : int(enc_lens[i])] for i in range(n)]
+
+
+class ExportedASR(_ExportedBase):
+    """Callable ASR over an exported artifact dir (no model params/code)."""
+
+    def __init__(self, artifact_dir: str):
+        super().__init__(artifact_dir)
+        dec = self.cfg.decoding
+        assert dec is not None, "exported artifact has no decoding config"
+        self.tokenizer = Tokenizer(dec.vocabulary or [], dec.model_path)
+        self.is_ctc = "ctc" in self.graphs
+
+    def transcribe_batch(self, wavs: List[np.ndarray]) -> List[str]:
+        n = len(wavs)
+        feats, feat_lens = self._features(wavs)
+        kind = "ctc" if self.is_ctc else "encoder"
+        g, pad, pad_lens = self._bucketed(kind, feats, feat_lens)
+        gb = g.meta["batch"]
 
         if self.is_ctc:
             log_probs, enc_lens = (np.asarray(x) for x in g(pad, pad_lens))
@@ -199,9 +235,18 @@ def infer_exported(
     """
     from .audio import load_audio
 
-    asr = ExportedASR(artifact_dir)
+    cfg, _graphs = load_exported(artifact_dir)
     wavs = [it if isinstance(it, np.ndarray) else load_audio(str(it))
             for it in items]
+
+    if cfg.model_class in ("ssl", "emo"):
+        clf = ExportedClassifier(artifact_dir)
+        results: List[np.ndarray] = []
+        for i in range(0, len(wavs), batch_size):
+            results.extend(clf.infer_batch(wavs[i: i + batch_size]))
+        return {"hypotheses": results}
+
+    asr = ExportedASR(artifact_dir)
     hyps: List[str] = []
     for i in range(0, len(wavs), batch_size):
         hyps.extend(asr.transcribe_batch(wavs[i: i + batch_size]))

@@ -177,6 +177,54 @@ def test_infer_exported_matches_live(tmp_path, kind, ctc_model, rnnt_model):
     assert got == live
 
 
+def test_infer_exported_emo_and_ssl(tmp_path):
+    """Emo probs and SSL embeddings from artifacts alone must match the
+    live models (reference ``tests/test_onnx.py`` emo/ssl branches)."""
+    from gigaam_tpu.config import (EmoHeadConfig, FeaturesConfig,
+                                   ModelConfig)
+    from gigaam_tpu.exported_infer import infer_exported
+    from gigaam_tpu.models.model import GigaAM, GigaAMEmo
+
+    from test_model_api import tiny_encoder
+
+    rng = np.random.default_rng(5)
+    wavs = [(0.1 * rng.standard_normal(16000 - 2000 * i)).astype(np.float32)
+            for i in range(2)]
+
+    emo_cfg = ModelConfig(
+        model_name="tiny_emo", model_class="emo",
+        preprocessor=FeaturesConfig(), encoder=tiny_encoder(),
+        head=EmoHeadConfig(feat_in=64, num_classes=4),
+        id2name=["angry", "sad", "neutral", "positive"])
+    emo = GigaAMEmo(emo_cfg, seed=0, compute_dtype=jnp.float32)
+    out = str(tmp_path / "export_emo")
+    manifest = export_model(emo, out, batch_sizes=(2,), audio_seconds=(1,))
+    assert "probs" in manifest["graphs"]
+    got = infer_exported(out, wavs, batch_size=2)["hypotheses"]
+    from gigaam_tpu.models.model import pad_wav_batch
+    for i, w in enumerate(wavs):
+        batch, lens = pad_wav_batch([w])
+        pos = emo._pos_for(batch.shape[1])
+        live = np.asarray(emo._probs_jit(
+            emo.params, jnp.asarray(batch), jnp.asarray(lens), pos))[0]
+        np.testing.assert_allclose(got[i], live, atol=1e-4)
+        np.testing.assert_allclose(got[i].sum(), 1.0, atol=1e-5)
+
+    ssl_cfg = ModelConfig(model_name="tiny_ssl", model_class="ssl",
+                          preprocessor=FeaturesConfig(),
+                          encoder=tiny_encoder())
+    ssl = GigaAM(ssl_cfg, seed=0, compute_dtype=jnp.float32)
+    out2 = str(tmp_path / "export_ssl")
+    export_model(ssl, out2, batch_sizes=(2,), audio_seconds=(1,))
+    embeds = infer_exported(out2, wavs, batch_size=2)["hypotheses"]
+    for i, w in enumerate(wavs):
+        enc_live, len_live = ssl.encode_batch([w])
+        tl = int(len_live[0])
+        assert embeds[i].ndim == 2
+        np.testing.assert_allclose(embeds[i][:tl],
+                                   np.asarray(enc_live)[0, :tl], atol=1e-4)
+
+
 def test_infer_exported_wer_and_buckets(tmp_path, ctc_model):
     from gigaam_tpu.exported_infer import infer_exported
 
