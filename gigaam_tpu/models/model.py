@@ -252,6 +252,7 @@ class GigaAMASR(GigaAM):
         self.tokenizer = Tokenizer(vocab or [], cfg.decoding.model_path)
         super().__init__(cfg, **kw)
         self.blank_id = len(self.tokenizer)
+        self._ctc_lp_jit = None  # built on first CTC beam decode
         if isinstance(cfg.head, CTCHeadConfig):
             self._asr_fwd = jax.jit(self._ctc_forward_impl)
 
@@ -270,6 +271,12 @@ class GigaAMASR(GigaAM):
         labels, keep = ctc_greedy_mask(log_probs, enc_lens)
         return labels, keep, enc_lens
 
+    def _ctc_logprobs_impl(self, params, wavs, lengths, pos):
+        """Full [B, T', V] posteriors — the prefix-beam decode input."""
+        encoded, enc_lens = self._encode_impl(params, wavs, lengths, pos)
+        log_probs = heads_lib.ctc_log_probs(params["head"], encoded)
+        return log_probs.astype(jnp.float32), enc_lens
+
     def _decode_batch(
         self, wavs: List[np.ndarray], word_timestamps: bool,
         beam_size: int = 1,
@@ -277,8 +284,9 @@ class GigaAMASR(GigaAM):
         """Batched transcribe core (reference ``model.py:96-124``).
 
         ``beam_size > 1`` switches RNNT models to the on-device beam
-        search (``decode/rnnt_beam.py``; CTC ignores it — greedy CTC is
-        exact for the per-frame-argmax criterion the reference uses).
+        search (``decode/rnnt_beam.py``) and CTC models to host prefix
+        beam search over the full posteriors (``decode/ctc_beam.py``) —
+        both extensions over the greedy-only reference.
 
         Under ``set_mesh``, the batch is sharded across the mesh "data"
         axis — the multi-chip longform path."""
@@ -288,10 +296,21 @@ class GigaAMASR(GigaAM):
         pos = self._pos_for(batch.shape[1])
         dev_batch, dev_lens = self._device_batch(batch, lens)
         if isinstance(self.cfg.head, CTCHeadConfig):
-            labels, keep, enc_lens = self._asr_fwd(
-                self.params, dev_batch, dev_lens, pos)
-            decoded = ctc_extract(np.asarray(labels)[:n],
-                                  np.asarray(keep)[:n])
+            if beam_size > 1:
+                from ..decode.ctc_beam import ctc_beam_batch
+
+                if self._ctc_lp_jit is None:
+                    self._ctc_lp_jit = jax.jit(self._ctc_logprobs_impl)
+                log_probs, enc_lens = self._ctc_lp_jit(
+                    self.params, dev_batch, dev_lens, pos)
+                decoded = ctc_beam_batch(np.asarray(log_probs)[:n],
+                                         np.asarray(enc_lens)[:n],
+                                         beam_size=beam_size)
+            else:
+                labels, keep, enc_lens = self._asr_fwd(
+                    self.params, dev_batch, dev_lens, pos)
+                decoded = ctc_extract(np.asarray(labels)[:n],
+                                      np.asarray(keep)[:n])
         else:
             encoded, enc_lens = self._encode_jit(
                 self.params, dev_batch, dev_lens, pos)

@@ -133,3 +133,88 @@ def test_transcribe_beam_api(tmp_path):
     assert res_b.words is not None
     # beam=1 through the API must match plain greedy
     assert model.transcribe(p, beam_size=1).text == res_g.text
+
+
+# -- CTC prefix beam search (decode/ctc_beam.py) -----------------------------
+
+
+def _ctc_string_logprob(log_probs, y, blank):
+    """Exact log P(y | x) by the CTC forward algorithm (oracle)."""
+    t_max, _ = log_probs.shape
+    # expanded label sequence with blanks: b y1 b y2 b ... b
+    z = [blank]
+    for c in y:
+        z += [c, blank]
+    alpha = np.full(len(z), -np.inf)
+    alpha[0] = log_probs[0, z[0]]
+    if len(z) > 1:
+        alpha[1] = log_probs[0, z[1]]
+    for t in range(1, t_max):
+        prev = alpha.copy()
+        for s in range(len(z)):
+            best = prev[s]
+            if s >= 1:
+                best = np.logaddexp(best, prev[s - 1])
+            if s >= 2 and z[s] != blank and z[s] != z[s - 2]:
+                best = np.logaddexp(best, prev[s - 2])
+            alpha[s] = best + log_probs[t, z[s]]
+    out = alpha[-1]
+    if len(z) > 1:
+        out = np.logaddexp(out, alpha[-2])
+    return out
+
+
+def test_ctc_prefix_beam_matches_exact_argmax():
+    """With a wide beam on a tiny problem, prefix beam search must find the
+    exact maximum-posterior label string (oracle: CTC forward algorithm
+    over every string up to length T)."""
+    from itertools import product
+
+    from gigaam_tpu.decode.ctc_beam import ctc_prefix_beam
+
+    rng = np.random.default_rng(0)
+    t_max, v = 5, 4  # 3 symbols + blank
+    blank = v - 1
+    for trial in range(10):
+        logits = rng.standard_normal((t_max, v)) * 2.0
+        lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+        cands = [()]
+        for ln in range(1, t_max + 1):
+            cands += list(product(range(v - 1), repeat=ln))
+        scores = {y: _ctc_string_logprob(lp, y, blank) for y in cands}
+        best_exact = max(scores, key=scores.get)
+
+        tokens, frames = ctc_prefix_beam(lp, beam_size=64, prune_vocab=v)
+        assert tuple(tokens) == best_exact, (
+            f"trial {trial}: beam {tokens} vs exact {list(best_exact)}")
+        assert len(frames) == len(tokens)
+        assert frames == sorted(frames)
+
+
+def test_ctc_prefix_beam_respects_length():
+    from gigaam_tpu.decode.ctc_beam import ctc_prefix_beam
+
+    rng = np.random.default_rng(1)
+    lp = rng.standard_normal((10, 5))
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    full, _ = ctc_prefix_beam(lp, beam_size=8)
+    trunc, _ = ctc_prefix_beam(lp, length=4, beam_size=8)
+    also, _ = ctc_prefix_beam(lp[:4], beam_size=8)
+    assert trunc == also
+
+
+def test_ctc_transcribe_beam_api(tmp_path):
+    """beam_size>1 on a CTC model runs prefix beam; beam=1 stays greedy."""
+    from gigaam_tpu.audio import save_wav
+    from gigaam_tpu.models.model import GigaAMASR
+    from test_training import tiny_cfg
+
+    model = GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+    p = str(tmp_path / "t.wav")
+    save_wav(p, (0.1 * np.random.default_rng(2)
+                 .standard_normal(16000)).astype(np.float32))
+    res_g = model.transcribe(p)
+    res_b = model.transcribe(p, beam_size=8)
+    assert isinstance(res_b.text, str)
+    assert model.transcribe(p, beam_size=1).text == res_g.text
