@@ -202,7 +202,7 @@ def main(argv=None) -> None:
     ap.add_argument("--batch_window_ms", type=float, default=15.0)
     ap.add_argument("--warmup_seconds", type=int, nargs="*", default=[5, 10])
     ap.add_argument("--beam_size", type=int, default=1,
-                    help="RNNT beam width (1 = greedy; ignored for CTC)")
+                    help="beam width (1 = greedy; RNNT on-device beam / CTC prefix beam)")
     args = ap.parse_args(argv)
 
     import gigaam_tpu

@@ -25,6 +25,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--out", default="preds.jsonl")
     p.add_argument("--max_duration", type=float, default=None)
+    p.add_argument("--beam_size", type=int, default=1,
+                   help="beam width (1 = greedy; RNNT on-device beam / "
+                        "CTC prefix beam)")
     args = p.parse_args(argv)
 
     import gigaam_tpu
@@ -43,7 +46,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     idx = 0
     for wavs_pad, lens in ds.batches(args.batch_size, sort_by_duration=False):
         wav_list = [wavs_pad[i, : lens[i]] for i in range(len(lens))]
-        for text, _ in model._decode_batch(wav_list, word_timestamps=False):
+        for text, _ in model._decode_batch(wav_list, word_timestamps=False,
+                                   beam_size=args.beam_size):
             hyps.append(text)
             refs.append(ds.samples[idx].text or "")
             idx += 1
