@@ -64,12 +64,17 @@ class BatchingASRServer:
         self._thread.start()
 
     def warmup(self, seconds: List[int] = (5, 10, 20)) -> None:
-        """Pre-compile the bucket graphs so first requests aren't slow."""
+        """Pre-compile the bucket graphs so first requests aren't slow.
+
+        Compiles at the serving row count (``max_batch``): ``_process``
+        always pads request batches to it, so per duration bucket exactly
+        one graph exists."""
         rng = np.random.default_rng(0)
         for s in seconds:
             wav = (0.01 * rng.standard_normal(SAMPLE_RATE * s)
                    ).astype(np.float32)
-            self.model._decode_batch([wav], word_timestamps=False,
+            self.model._decode_batch([wav] * self.max_batch,
+                                     word_timestamps=False,
                                      beam_size=self.beam_size)
 
     def submit(self, wav: np.ndarray, timestamps: bool,
@@ -101,7 +106,15 @@ class BatchingASRServer:
     def _process(self, batch: List[_Request]) -> None:
         try:
             want_ts = any(r.timestamps for r in batch)
-            outs = self.model._decode_batch([r.wav for r in batch],
+            # pad the row count to max_batch: otherwise every distinct
+            # request-batch size compiles its own graph per duration bucket
+            # (a 1..max_batch x buckets cold-compile explosion at ~minutes
+            # per graph for the 220M models); padded rows cost almost
+            # nothing on the MXU and are dropped below
+            wavs = [r.wav for r in batch]
+            filler = np.zeros(min(len(w) for w in wavs), np.float32)
+            wavs += [filler] * (self.max_batch - len(wavs))
+            outs = self.model._decode_batch(wavs,
                                             word_timestamps=want_ts,
                                             beam_size=self.beam_size)
             for r, (text, words) in zip(batch, outs):

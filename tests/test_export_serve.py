@@ -145,6 +145,29 @@ def test_server_concurrent_batching(http_server):
     assert all(r is not None and r[0] == 200 for r in results)
 
 
+def test_server_pads_rows_to_max_batch(ctc_model):
+    """Every decode call must use exactly max_batch rows so serving
+    compiles one graph per duration bucket, not one per batch size."""
+    server = BatchingASRServer(ctc_model, max_batch=4, batch_window_ms=5.0)
+    try:
+        seen = []
+        orig = ctc_model._decode_batch
+
+        def spy(wavs, *a, **kw):
+            seen.append(len(wavs))
+            return orig(wavs, *a, **kw)
+
+        ctc_model._decode_batch = spy
+        wav = (0.1 * np.random.default_rng(4)
+               .standard_normal(8000)).astype(np.float32)
+        req = server.submit(wav, timestamps=False)
+        assert req.error is None and req.result["text"] is not None
+        assert seen and all(n == 4 for n in seen), seen
+    finally:
+        ctc_model._decode_batch = orig
+        server.shutdown()
+
+
 def test_server_error_paths(http_server):
     status, out = _post_json(http_server, {"audio": []})
     assert status == 400 and "empty" in out["error"]
