@@ -207,6 +207,39 @@ class AudioDataset:
             yield batch, lens, tok_batch, tlens
 
 
+def prefetch_batches(it: Iterator, depth: int = 2) -> Iterator:
+    """Run ``it`` in a background thread, keeping ``depth`` batches ready.
+
+    The analogue of the reference's ``DataLoader(num_workers=...)``
+    (``gigaam/utils.py`` dataset + Lightning loaders): wav reading and
+    zero-pad collation overlap with the accelerator step instead of
+    stalling it.  Preserves order; exceptions re-raise at the consumer.
+    """
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as exc:  # propagate to the consuming thread
+            q.put(exc)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def write_manifest(path: str, rows: List[Tuple[str, float, str]]) -> None:
     """Write a TSV manifest (path, duration, transcription)."""
     with open(path, "w") as f:

@@ -119,7 +119,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     import jax
 
     import gigaam_tpu
-    from gigaam_tpu.data import AudioDataset
+    from gigaam_tpu.data import AudioDataset, prefetch_batches
     from gigaam_tpu.parallel.mesh import make_mesh
     from gigaam_tpu.train.finetune import FineTuner, TrainConfig
 
@@ -202,9 +202,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     t_epoch = time.time()
     done = False
     while not done:
-        for batch in train_ds.batches(args.batch_size, shuffle=True,
-                                      seed=args.seed + epoch,
-                                      sort_by_duration=True, drop_last=True):
+        for batch in prefetch_batches(
+                train_ds.batches(args.batch_size, shuffle=True,
+                                 seed=args.seed + epoch,
+                                 sort_by_duration=True, drop_last=True)):
             key, sub = jax.random.split(key)
             m = ft.train_step(batch, sub)
             if ft.step % args.log_every_n_steps == 0:

@@ -159,3 +159,22 @@ def test_eval_wer_helpers():
     assert len(hyps) == 2 and all(isinstance(h, str) for h in hyps)
     errs, words = ft.batch_wer(hyps, batch[2], batch[3])
     assert errs >= 0 and words >= 2
+
+
+def test_prefetch_batches_order_and_errors():
+    """prefetch_batches preserves order and re-raises producer errors."""
+    from gigaam_tpu.data import prefetch_batches
+
+    assert list(prefetch_batches(iter(range(10)), depth=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch_batches(boom())
+    assert next(it) == 1
+    try:
+        next(it)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "producer failed" in str(e)
