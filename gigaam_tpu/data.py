@@ -219,25 +219,43 @@ def prefetch_batches(it: Iterator, depth: int = 2) -> Iterator:
     import threading
 
     q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    stop = threading.Event()
     _END = object()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer went away — otherwise
+        # an early `break` out of the consuming loop leaves this thread
+        # blocked forever on the full queue, pinning `depth` batches and the
+        # source iterator for the life of the process
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as exc:  # propagate to the consuming thread
-            q.put(exc)
+            _put(exc)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def write_manifest(path: str, rows: List[Tuple[str, float, str]]) -> None:

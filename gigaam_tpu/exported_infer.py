@@ -233,13 +233,19 @@ def infer_exported(
     (``onnx_utils.py:164-279``): batches items, returns hypotheses and —
     when references are given — the dual WER metric.
     """
+    import json
+    import os
+
     from .audio import load_audio
 
-    cfg, _graphs = load_exported(artifact_dir)
+    # only the manifest is needed to pick the family — a full load_exported
+    # here would deserialize every StableHLO graph a second time
+    with open(os.path.join(artifact_dir, "export_manifest.json")) as f:
+        model_class = json.load(f).get("model_class", "asr")
     wavs = [it if isinstance(it, np.ndarray) else load_audio(str(it))
             for it in items]
 
-    if cfg.model_class in ("ssl", "emo"):
+    if model_class in ("ssl", "emo"):
         clf = ExportedClassifier(artifact_dir)
         results: List[np.ndarray] = []
         for i in range(0, len(wavs), batch_size):

@@ -241,7 +241,8 @@ def _layer_forward(
     if cfg.flash_attn:
         from ..ops.pallas_attention import fused_attention_available
 
-        use_fused = fused_attention_available(x.shape[1])
+        kind = ("sdpa" if cfg.self_attention_model == "rotary" else "relpos")
+        use_fused = fused_attention_available(x.shape[1], kind)
     if cfg.self_attention_model == "rotary":
         cos, sin = pos
         y = rotary_mha(lp["self_attn"], y, cos, sin, valid, cfg.n_heads,

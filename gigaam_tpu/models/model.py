@@ -280,6 +280,7 @@ class GigaAMASR(GigaAM):
     def _decode_batch(
         self, wavs: List[np.ndarray], word_timestamps: bool,
         beam_size: int = 1,
+        pad_rows_to: int = 0,
     ) -> List[Tuple[str, Optional[List[Word]]]]:
         """Batched transcribe core (reference ``model.py:96-124``).
 
@@ -288,9 +289,16 @@ class GigaAMASR(GigaAM):
         beam search over the full posteriors (``decode/ctc_beam.py``) —
         both extensions over the greedy-only reference.
 
+        ``pad_rows_to`` pads the device batch's row count (serving uses it
+        to keep one compiled graph per duration bucket); filler rows are
+        dropped before any host-side decode work.
+
         Under ``set_mesh``, the batch is sharded across the mesh "data"
         axis — the multi-chip longform path."""
         n = len(wavs)
+        if pad_rows_to > n:
+            filler = np.zeros(min(len(w) for w in wavs), np.float32)
+            wavs = list(wavs) + [filler] * (pad_rows_to - n)
         wavs, _ = self._dp_pad(wavs)
         batch, lens = pad_wav_batch(wavs)
         pos = self._pos_for(batch.shape[1])

@@ -36,11 +36,19 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 NEG_INF = -1e9
-_MAX_VMEM_T = 2048  # K/V + score-block VMEM budget bound
+# Per-kernel sequence bounds set by VMEM: the plain SDPA kernel holds one
+# [block_q, T] fp32 score block + K/V; the rel-pos kernel additionally
+# holds the [block_q, ~2T] positional matrix through the shear, ~2-3x the
+# footprint, so its bound is half.  Past the bound callers fall back to the
+# XLA formulation rather than hitting a Mosaic compile failure (reachable:
+# encode_batch/embed_audio have no 25 s cap, so 60 s+ audio gives T'>1500).
+_MAX_VMEM_T = 2048
+_MAX_VMEM_T_RELPOS = 1024
 
 
-def fused_attention_available(t: int) -> bool:
-    return (_HAS_PLTPU and t <= _MAX_VMEM_T
+def fused_attention_available(t: int, kind: str = "sdpa") -> bool:
+    bound = _MAX_VMEM_T_RELPOS if kind == "relpos" else _MAX_VMEM_T
+    return (_HAS_PLTPU and t <= bound
             and jax.default_backend() not in ("cpu",))
 
 
@@ -462,7 +470,8 @@ def _fused_relpos_vjp_fwd(q_u, k, v, q_v, p_heads, valid, block_q, interpret):
 def _fused_relpos_vjp_bwd(block_q, interpret, res, g):
     q_u, k, v, q_v, p_heads, valid = res
     t = q_u.shape[2]
-    if t <= _BWD_MAX_T and (interpret or fused_attention_available(t)):
+    if t <= _BWD_MAX_T and (interpret
+                            or fused_attention_available(t, "relpos")):
         # Pallas backward with in-VMEM shear/unshear — the XLA fallback's
         # rel_shift relayouts cost ~2x the whole v3 train step (PERF.md)
         dq_u, dk, dv, dq_v, dp = _partitioned_relpos_bwd(interpret)(

@@ -106,17 +106,16 @@ class BatchingASRServer:
     def _process(self, batch: List[_Request]) -> None:
         try:
             want_ts = any(r.timestamps for r in batch)
-            # pad the row count to max_batch: otherwise every distinct
-            # request-batch size compiles its own graph per duration bucket
-            # (a 1..max_batch x buckets cold-compile explosion at ~minutes
-            # per graph for the 220M models); padded rows cost almost
-            # nothing on the MXU and are dropped below
-            wavs = [r.wav for r in batch]
-            filler = np.zeros(min(len(w) for w in wavs), np.float32)
-            wavs += [filler] * (self.max_batch - len(wavs))
-            outs = self.model._decode_batch(wavs,
+            # pad the device row count to max_batch: otherwise every
+            # distinct request-batch size compiles its own graph per
+            # duration bucket (a 1..max_batch x buckets cold-compile
+            # explosion at ~minutes per graph for the 220M models); filler
+            # rows cost almost nothing on the MXU and are dropped before
+            # any host-side decode work
+            outs = self.model._decode_batch([r.wav for r in batch],
                                             word_timestamps=want_ts,
-                                            beam_size=self.beam_size)
+                                            beam_size=self.beam_size,
+                                            pad_rows_to=self.max_batch)
             for r, (text, words) in zip(batch, outs):
                 r.result = {"text": text}
                 if r.timestamps and words is not None:

@@ -154,7 +154,7 @@ def test_server_pads_rows_to_max_batch(ctc_model):
         orig = ctc_model._decode_batch
 
         def spy(wavs, *a, **kw):
-            seen.append(len(wavs))
+            seen.append(kw.get("pad_rows_to", 0))
             return orig(wavs, *a, **kw)
 
         ctc_model._decode_batch = spy

@@ -80,6 +80,28 @@ def test_fused_relpos_matches_xla(t, block_q):
                                    atol=2e-5)
 
 
+def test_fused_relpos_bf16():
+    """bf16 path of the rel-pos kernel (production dtype; the shear runs in
+    bf16) vs the fp32 XLA formulation — loose tolerance, mirroring the
+    reference's fp16-autocast precision class for this block."""
+    from gigaam_tpu.ops.pallas_attention import _xla_relpos, fused_relpos_mha
+
+    b, h, t, d = 2, 4, 128, 48
+    rng = np.random.default_rng(6)
+    mk = lambda *s: jnp.asarray(
+        rng.standard_normal(s).astype(np.float32) * 0.3).astype(jnp.bfloat16)
+    q_u, k, v, q_v = (mk(b, h, t, d) for _ in range(4))
+    p_heads = mk(h, 2 * t - 1, d)
+    valid = jnp.ones((b, t), bool)
+
+    f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    ref = np.asarray(_xla_relpos(f32(q_u), f32(k), f32(v), f32(q_v),
+                                 f32(p_heads), valid, 1.0 / np.sqrt(d)))
+    got = np.asarray(fused_relpos_mha(q_u, k, v, q_v, p_heads, valid,
+                                      interpret=True), dtype=np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.05)
+
+
 def test_relpos_mha_fused_matches_plain():
     """relpos_mha(use_fused=True) == the plain XLA relpos path, and grads
     (incl. through the bias -> pos_bias_v/linear_pos) agree."""
