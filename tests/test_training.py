@@ -178,3 +178,34 @@ def test_prefetch_batches_order_and_errors():
         raise AssertionError("expected RuntimeError")
     except RuntimeError as e:
         assert "producer failed" in str(e)
+
+
+def test_sharded_train_step_relpos_matches_single_device():
+    """DPxTP train step for the rel_pos (v1/v2) attention generation —
+    exercises the linear_pos / pos_bias TP shardings the rotary test
+    cannot reach."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=4, model=2)
+
+    cfg_a = tiny_cfg("ctc")
+    cfg_a.encoder.self_attention_model = "rel_pos"
+    cfg_b = tiny_cfg("ctc")
+    cfg_b.encoder.self_attention_model = "rel_pos"
+    model_a = GigaAMASR(cfg_a, seed=6, compute_dtype=jnp.float32)
+    model_b = GigaAMASR(cfg_b, seed=6, compute_dtype=jnp.float32)
+    tc = TrainConfig(lr=1e-3, total_steps=10, precision="fp32")
+
+    ft_single = FineTuner(model_a, tc)
+    ft_sharded = FineTuner(model_b, tc, mesh=mesh)
+
+    batch = synth_batch(b=4, seed=7)
+    m_s = ft_single.train_step(batch, jax.random.PRNGKey(0))
+    m_m = ft_sharded.train_step(batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(m_s["loss"], m_m["loss"], rtol=1e-4)
+
+    w_s = np.asarray(
+        ft_single.params["encoder"]["layers"]["self_attn"]["linear_pos"]["w"])
+    w_m = np.asarray(
+        ft_sharded.params["encoder"]["layers"]["self_attn"]["linear_pos"]["w"])
+    np.testing.assert_allclose(w_s, w_m, atol=2e-5)
