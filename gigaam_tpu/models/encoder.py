@@ -64,6 +64,10 @@ class PosTables:
         self._len = 0
         self._rot: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self._rel: Optional[np.ndarray] = None
+        # device-array cache per t: lengths are bucketed, so a handful of
+        # entries ends the per-call host->device re-upload of MB-sized
+        # tables on the serving hot path
+        self._dev: dict = {}
 
     def ensure(self, length: int) -> None:
         length = max(length, self.cfg.pos_emb_max_len)
@@ -75,16 +79,34 @@ class PosTables:
         else:
             self._rel = relpos_table(length, self.cfg.d_model)
         self._len = length
+        self._dev.clear()
+
+    @staticmethod
+    def _cacheable(val) -> bool:
+        # inside a jit trace jnp.asarray stages the constant as a tracer —
+        # caching that would leak it into later traces
+        return not any(isinstance(v, jax.core.Tracer)
+                       for v in jax.tree.leaves(val))
 
     def rotary(self, t: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         self.ensure(t)
-        cos, sin = self._rot
-        return jnp.asarray(cos[:t]), jnp.asarray(sin[:t])
+        if t not in self._dev:
+            cos, sin = self._rot
+            val = (jnp.asarray(cos[:t]), jnp.asarray(sin[:t]))
+            if not self._cacheable(val):
+                return val
+            self._dev[t] = val
+        return self._dev[t]
 
     def relpos(self, t: int) -> jnp.ndarray:
         self.ensure(t)
-        center = self._len
-        return jnp.asarray(self._rel[center - t: center + t - 1])
+        if t not in self._dev:
+            center = self._len
+            val = jnp.asarray(self._rel[center - t: center + t - 1])
+            if not self._cacheable(val):
+                return val
+            self._dev[t] = val
+        return self._dev[t]
 
 
 # ---------------------------------------------------------------------------

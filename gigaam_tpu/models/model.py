@@ -81,9 +81,6 @@ class GigaAM:
         compute_dtype: Optional[jnp.dtype] = None,
         use_fused_attention: Optional[bool] = None,
     ):
-        self.cfg = cfg
-        self.frontend = LogMelFrontend(cfg.preprocessor)
-        self.pos_tables = PosTables(cfg.encoder)
         on_accel = jax.default_backend() != "cpu"
         if compute_dtype is None:
             compute_dtype = jnp.bfloat16 if on_accel else jnp.float32
@@ -94,7 +91,18 @@ class GigaAM:
         # via fused_mha, rel_pos via fused_relpos_mha); override via arg.
         if use_fused_attention is None:
             use_fused_attention = on_accel
-        cfg.encoder.flash_attn = bool(use_fused_attention)
+        if cfg.encoder.flash_attn != bool(use_fused_attention):
+            # copy-on-write: mutating the caller's (possibly shared) config
+            # in place would silently change the kernels of other models
+            # built from the same object
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, encoder=dataclasses.replace(
+                    cfg.encoder, flash_attn=bool(use_fused_attention)))
+        self.cfg = cfg
+        self.frontend = LogMelFrontend(cfg.preprocessor)
+        self.pos_tables = PosTables(cfg.encoder)
         # int16 audio wire format for host->device transfers (see
         # ``_device_batch``).  Off by default: on the tunneled dev TPU the
         # host-side quantize costs more than the halved transfer saves;
@@ -187,17 +195,11 @@ class GigaAM:
         return encoded, enc_lens
 
     def _pos_for_tfeat(self, t_feat: int):
-        # pure-Python mirror of ops.conformer_ops.subsampled_length: this
-        # must stay traceable-free so callers inside jit traces (where jnp
-        # constants become tracers) can use it with static shapes
-        import math
+        from ..ops.conformer_ops import static_subsampled_length
 
-        k = self.cfg.encoder.subs_kernel_size
-        add_pad = 2 * ((k - 1) // 2) - k
-        t_sub = float(t_feat)
-        for _ in range(self.cfg.encoder.num_subsampling_stages):
-            t_sub = math.floor((t_sub + add_pad) / 2 + 1.0)
-        t_sub = int(t_sub)
+        t_sub = static_subsampled_length(
+            t_feat, self.cfg.encoder.num_subsampling_stages,
+            self.cfg.encoder.subs_kernel_size)
         if self.cfg.encoder.self_attention_model == "rotary":
             return self.pos_tables.rotary(t_sub)
         return self.pos_tables.relpos(t_sub)

@@ -154,6 +154,24 @@ def subsampled_length(lengths: jnp.ndarray, num_stages: int,
     return out.astype(jnp.int32)
 
 
+def static_subsampled_length(t_feat: int, num_stages: int,
+                             kernel_size: int = 3, stride: int = 2) -> int:
+    """Pure-Python twin of ``subsampled_length`` for *static* shapes.
+
+    Needed by callers inside jit traces (where jnp constants become
+    tracers) to size positional tables; keeping the single mirror here
+    prevents the two arithmetic copies from drifting.
+    """
+    import math
+
+    pad = (kernel_size - 1) // 2
+    add_pad = 2 * pad - kernel_size
+    out = float(t_feat)
+    for _ in range(num_stages):
+        out = math.floor((out + add_pad) / stride + 1.0)
+    return int(out)
+
+
 def _mask_time(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Zero the padded tail along time (axis 1).
 

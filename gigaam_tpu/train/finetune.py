@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import CTCHeadConfig, ModelConfig, RNNTHeadConfig
 from ..decode.ctc_greedy import ctc_extract, ctc_greedy_mask
 from ..decode.rnnt_greedy import rnnt_extract, rnnt_greedy_decode
-from ..frontend import LogMelFrontend
+from ..ops.conformer_ops import static_subsampled_length
 from ..metrics import wer_counts
 from ..models import heads as heads_lib
 from ..models.encoder import PosTables, conformer_forward
@@ -111,8 +111,10 @@ class FineTuner:
         self.cfg: ModelConfig = model.cfg
         self.tc = tc
         self.mesh = mesh
-        self.frontend = LogMelFrontend(self.cfg.preprocessor)
-        self.pos_tables = PosTables(self.cfg.encoder)
+        # reuse the model's frontend / positional tables (same configs;
+        # a second PosTables would double the host table memory)
+        self.frontend = model.frontend
+        self.pos_tables = model.pos_tables
         self.blank_id = model.blank_id
         self.mode = "ctc" if isinstance(self.cfg.head, CTCHeadConfig) else "rnnt"
         if self.mode == "rnnt":
@@ -175,10 +177,13 @@ class FineTuner:
                             self.blank_id)
         else:
             u1 = tokens.shape[1] + 1
+            # tok_lens=0 (empty transcript) is valid — the loss trains pure
+            # blank emission; clamping it up to 1 would instead train the
+            # model to hallucinate token 0 on empty-label audio
             loss = rnnt_loss(
                 params["head"], encoded.astype(jnp.float32), tokens,
                 jnp.clip(enc_lens, 1, encoded.shape[1]),
-                jnp.clip(tok_lens, 1, u1 - 1),
+                jnp.clip(tok_lens, 0, u1 - 1),
                 blank_id=self.blank_id,
                 time_chunk=self.tc.rnnt_time_chunk)
         return loss, (bn_stats, encoded, enc_lens)
@@ -189,16 +194,9 @@ class FineTuner:
         return loss, encoded, enc_lens
 
     def _static_t_sub(self, t_feat: int) -> int:
-        # pure-Python mirror of ops.conformer_ops.subsampled_length (this
-        # runs inside a jit trace, where jnp constants become tracers)
-        import math
-
-        k = self.enc_cfg.subs_kernel_size
-        add_pad = 2 * ((k - 1) // 2) - k
-        length = float(t_feat)
-        for _ in range(self.enc_cfg.num_subsampling_stages):
-            length = math.floor((length + add_pad) / 2 + 1.0)
-        return int(length)
+        return static_subsampled_length(t_feat,
+                                        self.enc_cfg.num_subsampling_stages,
+                                        self.enc_cfg.subs_kernel_size)
 
     def _pos(self, t_sub: int):
         if self.enc_cfg.self_attention_model == "rotary":

@@ -202,10 +202,12 @@ def main(argv: Optional[List[str]] = None) -> None:
     t_epoch = time.time()
     done = False
     while not done:
+        steps_this_epoch = 0
         for batch in prefetch_batches(
                 train_ds.batches(args.batch_size, shuffle=True,
                                  seed=args.seed + epoch,
                                  sort_by_duration=True, drop_last=True)):
+            steps_this_epoch += 1
             key, sub = jax.random.split(key)
             m = ft.train_step(batch, sub)
             if ft.step % args.log_every_n_steps == 0:
@@ -226,15 +228,20 @@ def main(argv: Optional[List[str]] = None) -> None:
                 done = True
                 break
         else:
+            if steps_this_epoch == 0:
+                raise RuntimeError(
+                    f"train set yields no batches at batch_size="
+                    f"{args.batch_size} with drop_last "
+                    f"({len(train_ds)} samples) — lower --batch_size")
             epoch += 1
             print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
             t_epoch = time.time()
             if not args.val_every_n_steps:
                 validate(ft.step)
 
-    if not args.val_every_n_steps and not done:
-        pass
-    validate(ft.step)
+    # final validation — unless this exact step was already validated above
+    if not (args.val_every_n_steps and ft.step % args.val_every_n_steps == 0):
+        validate(ft.step)
     ft.sync_model()
     gigaam_tpu.save_model(model, os.path.join(args.save_dir, "final"))
     print(f"saved final model to {args.save_dir}/final.npz")

@@ -209,3 +209,40 @@ def test_sharded_train_step_relpos_matches_single_device():
     w_m = np.asarray(
         ft_sharded.params["encoder"]["layers"]["self_attn"]["linear_pos"]["w"])
     np.testing.assert_allclose(w_s, w_m, atol=2e-5)
+
+
+def test_rnnt_empty_transcript_trains_blank():
+    """A sample with an empty transcript (tok_lens=0) must be trained
+    toward pure blank emission — not clamped up to target length 1, which
+    would teach the model to hallucinate token 0 on empty-label audio."""
+    model = GigaAMASR(tiny_cfg("rnnt"), seed=1, compute_dtype=jnp.float32)
+    ft = FineTuner(model, TrainConfig(total_steps=10, precision="fp32"))
+
+    wavs, lens, toks, tlens = synth_batch(b=2, seed=9)
+    tlens = np.asarray(tlens).copy()
+    tlens[1] = 0
+    batch = (wavs, lens, jnp.asarray(toks), jnp.asarray(tlens))
+
+    loss, (_, encoded, enc_lens) = ft._forward_loss(
+        ft.params, batch, jax.random.PRNGKey(0), train=False)
+    assert np.isfinite(float(loss))
+
+    # the per-sample loss for the empty row must equal the direct
+    # zero-length loss, not the length-1 clamped one
+    from gigaam_tpu.ops.rnnt_loss import rnnt_loss
+
+    enc = encoded.astype(jnp.float32)
+    l0 = rnnt_loss(ft.params["head"], enc[1:2], jnp.asarray(toks)[1:2],
+                   enc_lens[1:2], jnp.asarray([0], jnp.int32),
+                   blank_id=ft.blank_id)
+    l1 = rnnt_loss(ft.params["head"], enc[1:2], jnp.asarray(toks)[1:2],
+                   enc_lens[1:2], jnp.asarray([1], jnp.int32),
+                   blank_id=ft.blank_id)
+    assert not np.isclose(float(l0), float(l1))
+    both = rnnt_loss(ft.params["head"], enc, jnp.asarray(toks), enc_lens,
+                     jnp.asarray(tlens, jnp.int32), blank_id=ft.blank_id)
+    solo = rnnt_loss(ft.params["head"], enc[0:1], jnp.asarray(toks)[0:1],
+                     enc_lens[0:1], jnp.asarray(tlens, jnp.int32)[0:1],
+                     blank_id=ft.blank_id)
+    np.testing.assert_allclose(float(both) * 2 - float(solo), float(l0),
+                               rtol=1e-4)
