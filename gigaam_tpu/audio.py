@@ -33,7 +33,11 @@ def _decode_wav(path: str) -> Tuple[np.ndarray, int]:
     if sampwidth == 2:
         from . import native
 
-        data = native.s16_to_f32(np.frombuffer(raw, dtype="<i2"))
+        pcm = np.frombuffer(raw, dtype="<i2")
+        if n_channels > 1:
+            # native interleaved mixdown: no f32 expansion + reshape + mean
+            return native.s16_interleaved_to_mono(pcm, n_channels), sr
+        data = native.s16_to_f32(pcm)
     elif sampwidth == 4:
         data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     elif sampwidth == 1:

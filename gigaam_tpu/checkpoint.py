@@ -91,8 +91,10 @@ def _unwrap(node: Any) -> Any:
             content = d["_args"][0]
         return _unwrap(content)
     if isinstance(node, dict):
+        # keep hydra's "_target_" (``_head_kind`` dispatches on it); drop
+        # the other OmegaConf bookkeeping keys
         return {k: _unwrap(v) for k, v in node.items()
-                if not str(k).startswith("_")}
+                if k == "_target_" or not str(k).startswith("_")}
     if isinstance(node, (list, tuple)):
         return [_unwrap(v) for v in node]
     if hasattr(node, "_val"):  # ValueNode

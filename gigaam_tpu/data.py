@@ -187,13 +187,13 @@ class AudioDataset:
             idx = order[i: i + batch_size]
             if drop_last and len(idx) < batch_size:
                 break
+            from .native import collate
+
             wavs = [self.load_wav(j) for j in idx]
             lens = np.array([len(w) for w in wavs], dtype=np.int32)
             max_len = int(np.ceil(max(1, lens.max()) / audio_bucket)
                           ) * audio_bucket
-            batch = np.zeros((len(idx), max_len), dtype=np.float32)
-            for k, w in enumerate(wavs):
-                batch[k, : len(w)] = w
+            batch = collate(wavs, max_len)
             if not self.return_tokens:
                 yield batch, lens
                 continue

@@ -85,17 +85,26 @@ def _windowed_dft_matrices(n_fft: int, win_length: int) -> Tuple[np.ndarray, np.
 
 
 def num_frames(num_samples: int, cfg: FeaturesConfig) -> int:
-    """Static frame count for a given waveform length."""
+    """Static frame count for a given waveform length.
+
+    center=False frames span ``n_fft`` samples (torch.stft semantics), so
+    the count uses max(n_fft, win_length) — the reference's formula uses
+    ``win_length`` (``gigaam/preprocess.py:88``) but every shipped config
+    has them equal; this form stays consistent with ``forward`` if they
+    ever differ.
+    """
     if cfg.center:
         return num_samples // cfg.hop_length + 1
-    return (num_samples - cfg.win_length) // cfg.hop_length + 1
+    span = max(cfg.n_fft, cfg.win_length)
+    return (num_samples - span) // cfg.hop_length + 1
 
 
 def out_len(lengths: jnp.ndarray, cfg: FeaturesConfig) -> jnp.ndarray:
     """Valid feature length per sample (``gigaam/preprocess.py:78-92``)."""
     if cfg.center:
         return lengths // cfg.hop_length + 1
-    return (lengths - cfg.win_length) // cfg.hop_length + 1
+    span = max(cfg.n_fft, cfg.win_length)
+    return (lengths - span) // cfg.hop_length + 1
 
 
 class LogMelFrontend:

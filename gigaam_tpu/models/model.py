@@ -62,12 +62,11 @@ def pad_wav_batch(
     wavs: List[np.ndarray], bucket: int = BUCKET_SAMPLES
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Zero-pad a list of waveforms to a common bucketed length."""
+    from ..native import collate
+
     lens = np.array([len(w) for w in wavs], dtype=np.int32)
     max_len = bucket_length(int(lens.max()), bucket)
-    out = np.zeros((len(wavs), max_len), dtype=np.float32)
-    for i, w in enumerate(wavs):
-        out[i, : len(w)] = w
-    return out, lens
+    return collate(wavs, max_len), lens
 
 
 class GigaAM:

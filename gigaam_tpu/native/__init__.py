@@ -58,6 +58,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    lib.collate_f32.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
     lib.levenshtein_i32.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
@@ -84,6 +88,39 @@ def s16_to_f32(pcm: np.ndarray) -> np.ndarray:
     lib.s16_to_f32(
         pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), _fptr(out),
         pcm.size)
+    return out
+
+
+def s16_interleaved_to_mono(pcm: np.ndarray, channels: int) -> np.ndarray:
+    """Interleaved multi-channel int16 -> mono float32 [-1, 1)."""
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    frames = pcm.size // channels
+    lib = _load()
+    if lib is None:
+        return (pcm[: frames * channels].reshape(-1, channels)
+                .astype(np.float32).mean(axis=1) / 32768.0).astype(np.float32)
+    out = np.empty(frames, dtype=np.float32)
+    lib.s16_interleaved_to_mono_f32(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), _fptr(out),
+        frames, channels)
+    return out
+
+
+def collate(rows: Sequence[np.ndarray], max_len: int) -> np.ndarray:
+    """Zero-pad variable-length float32 rows into a dense [B, max_len]."""
+    rows = [np.ascontiguousarray(r, dtype=np.float32) for r in rows]
+    lib = _load()
+    if lib is None:
+        out = np.zeros((len(rows), max_len), dtype=np.float32)
+        for i, r in enumerate(rows):
+            out[i, : min(len(r), max_len)] = r[:max_len]
+        return out
+    out = np.empty((len(rows), max_len), dtype=np.float32)
+    ptrs = (ctypes.POINTER(ctypes.c_float) * len(rows))(
+        *[_fptr(r) for r in rows])
+    lens = np.asarray([len(r) for r in rows], dtype=np.int64)
+    lib.collate_f32(ptrs, lens.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int64)), len(rows), _fptr(out), max_len)
     return out
 
 
@@ -122,8 +159,14 @@ def resample_poly(x: np.ndarray, up: int, down: int,
     if lib is None:
         from scipy.signal import upfirdn
 
-        full = upfirdn(taps * up, x, up, down)
-        start = offset // down
+        # upfirdn samples the filtered signal on the down-grid only; when
+        # offset is not a multiple of down, left-pad the taps so the
+        # requested phase lands on the grid (a plain offset//down slice
+        # would shift the output by a fractional input sample vs the
+        # native kernel, which evaluates at m*down + offset exactly)
+        pad = (-offset) % down
+        full = upfirdn(np.pad(taps * up, (pad, 0)), x, up, down)
+        start = (offset + pad) // down
         return full[start:start + n_out].astype(np.float32)
     out = np.empty(n_out, dtype=np.float32)
     lib.resample_poly_f32(_fptr(x), len(x), _fptr(out), n_out,

@@ -67,15 +67,21 @@ def batch_norm_train(
     reference's per-replica DDP BN).
     """
     xf = x.astype(jnp.float32)
-    mean = xf.mean(axis=(0, 1))
-    var = ((xf - mean) ** 2).mean(axis=(0, 1))
+    n = x.shape[0] * x.shape[1]
     if axis_name is not None:
-        mean = jax.lax.pmean(mean, axis_name)
-        var = jax.lax.pmean(var, axis_name)
+        # global moments from psum'd first/second raw moments: a pmean of
+        # per-replica variances would omit the cross-replica mean-spread
+        # term and under-estimate the true variance
+        mean = jax.lax.pmean(xf.mean(axis=(0, 1)), axis_name)
+        sq = jax.lax.pmean((xf * xf).mean(axis=(0, 1)), axis_name)
+        var = sq - mean * mean
+        n = n * jax.lax.psum(1, axis_name)
+    else:
+        mean = xf.mean(axis=(0, 1))
+        var = ((xf - mean) ** 2).mean(axis=(0, 1))
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    n = x.shape[0] * x.shape[1]
-    unbiased = var * n / max(n - 1, 1)
+    unbiased = var * n / jnp.maximum(n - 1, 1)
     new_stats = {
         "mean": (1 - momentum) * p["mean"] + momentum * mean,
         "var": (1 - momentum) * p["var"] + momentum * unbiased,

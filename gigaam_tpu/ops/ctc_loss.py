@@ -35,6 +35,15 @@ def ctc_loss(
         log_probs, logit_paddings, targets, label_paddings, blank_id=blank_id
     )
     # zero_infinity semantics (reference uses zero_infinity=True): impossible
-    # alignments (U > T) contribute 0, not inf.
-    per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
+    # alignments contribute 0, not a huge loss.  optax never returns inf —
+    # it floors path log-probs at log_epsilon=-1e5 and hands back a finite
+    # ~1e5 loss whose gradient would still blow up the batch — so gate on
+    # CTC feasibility directly: a target fits iff
+    # T >= U + #(consecutive repeats) (each repeat needs a separating
+    # blank frame).
+    in_len = jnp.arange(u)[None, :] < target_lengths[:, None]
+    repeats = jnp.sum(
+        (targets[:, 1:] == targets[:, :-1]) & in_len[:, 1:], axis=1)
+    feasible = input_lengths >= target_lengths + repeats
+    per_seq = jnp.where(feasible, per_seq, 0.0)
     return per_seq.mean()

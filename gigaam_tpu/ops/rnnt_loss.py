@@ -112,7 +112,6 @@ def rnnt_loss_from_log_probs(
     def step(v_prev: jnp.ndarray, d: jnp.ndarray):
         # v_prev[u] = alpha(d-1-u, u)
         blank_prev = diag_gather(blank_lp, d - 1)            # blank(d-1-u, u)
-        emit_prev = diag_gather(emit_lp, d)                  # emit(d-u, u) @ u-1 -> shift
         from_t = v_prev + blank_prev                         # alpha(d-1-u,u)+blank
         # from u-1: alpha(d-u, u-1) + emit(d-u, u-1); v_prev[u-1] = alpha(d-u, u-1)
         emit_at_um1 = diag_gather(emit_lp, d - 1)            # emit((d-1)-(u), u) -> at index u-1 this is emit(d-u, u-1)

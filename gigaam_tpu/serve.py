@@ -37,7 +37,8 @@ from .models.model import GigaAMASR
 
 
 class _Request:
-    __slots__ = ("wav", "timestamps", "event", "result", "error")
+    __slots__ = ("wav", "timestamps", "event", "result", "error",
+                 "abandoned")
 
     def __init__(self, wav: np.ndarray, timestamps: bool):
         self.wav = wav
@@ -45,6 +46,7 @@ class _Request:
         self.event = threading.Event()
         self.result = None
         self.error: Optional[str] = None
+        self.abandoned = False  # client gave up (timeout) — skip the decode
 
 
 class BatchingASRServer:
@@ -83,6 +85,11 @@ class BatchingASRServer:
         self.q.put(req)
         if not req.event.wait(timeout):
             req.error = "timeout"
+            # the client stops waiting now: mark it so the batch loop does
+            # not burn a padded device decode on a result nobody reads
+            # (under sustained overload those dead decodes would otherwise
+            # keep the server permanently behind)
+            req.abandoned = True
         return req
 
     def _loop(self) -> None:
@@ -104,6 +111,9 @@ class BatchingASRServer:
             self._process(batch)
 
     def _process(self, batch: List[_Request]) -> None:
+        batch = [r for r in batch if not r.abandoned]
+        if not batch:
+            return
         try:
             want_ts = any(r.timestamps for r in batch)
             # pad the device row count to max_batch: otherwise every

@@ -63,7 +63,8 @@ def energy_speech_regions(
     last = np.maximum.accumulate(np.where(speech, np.arange(n), -1))
     smoothed = (last >= 0) & (np.arange(n) - last < hang)
 
-    # region extraction from on/off transitions
+    # region extraction from on/off transitions; the last active frame is
+    # off-1, covering samples up to (off-1)*hop + frame
     padded = np.concatenate(([False], smoothed, [False]))
     edges = np.flatnonzero(np.diff(padded.astype(np.int8)))
     regions: List[Region] = []
@@ -71,7 +72,7 @@ def energy_speech_regions(
         if off >= n:  # ran to the end of the signal
             regions.append((on * hop / sr, len(wav) / sr))
         else:
-            regions.append((on * hop / sr, (off * hop + frame) / sr))
+            regions.append((on * hop / sr, ((off - 1) * hop + frame) / sr))
 
     min_len = min_speech_ms / 1000.0
     return [(s, e) for s, e in regions if e - s >= min_len]

@@ -58,3 +58,29 @@ def test_resample_preserves_tone():
     spec = np.abs(np.fft.rfft(out[2000:-2000] * np.hanning(len(out) - 4000)))
     peak_hz = np.argmax(spec) * sr_out / (len(out) - 4000)
     assert abs(peak_hz - f0) < 2.0
+
+
+def test_s16_interleaved_to_mono_matches_numpy():
+    from gigaam_tpu import native
+
+    rng = np.random.default_rng(0)
+    pcm = rng.integers(-32768, 32767, 6000, dtype=np.int16)
+    for ch in (2, 3):
+        got = native.s16_interleaved_to_mono(pcm, ch)
+        frames = pcm.size // ch
+        ref = (pcm[: frames * ch].reshape(-1, ch).astype(np.float32)
+               .mean(axis=1) / 32768.0)
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_collate_matches_numpy():
+    from gigaam_tpu import native
+
+    rng = np.random.default_rng(1)
+    rows = [rng.standard_normal(n).astype(np.float32)
+            for n in (100, 37, 256, 1)]
+    got = native.collate(rows, 256)
+    ref = np.zeros((4, 256), np.float32)
+    for i, r in enumerate(rows):
+        ref[i, : len(r)] = r
+    np.testing.assert_array_equal(got, ref)
