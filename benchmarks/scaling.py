@@ -139,6 +139,10 @@ def main() -> None:
         print(point, flush=True)
 
     # weak-scaling efficiency vs the smallest point (flat step time = 1.0)
+    if not results["points"]:
+        raise SystemExit(
+            f"no device count in {args.devices!r} is divisible by "
+            f"--tp {args.tp}; nothing to measure")
     base = results["points"][0]
     eff_key = {"train_step_s": "train_weak_eff", "infer_s": "infer_weak_eff"}
     for p in results["points"]:

@@ -13,7 +13,8 @@ from typing import Optional
 # Persistent XLA compilation cache: full-size encoder graphs cost minutes to
 # compile per padded-shape bucket; caching makes warm starts near-instant.
 # Opt out with GIGAAM_TPU_NO_COMPILE_CACHE=1.
-if not os.environ.get("GIGAAM_TPU_NO_COMPILE_CACHE"):
+if os.environ.get("GIGAAM_TPU_NO_COMPILE_CACHE",
+                  "0").lower() in ("", "0", "false", "no"):
     _cache_dir = os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/gigaam_tpu/jax_cache"))
@@ -119,22 +120,27 @@ def _download_file(file_url: str, file_path: str) -> str:
         dir=os.path.dirname(file_path) or ".",
         prefix=os.path.basename(file_path) + ".", suffix=".part")
     os.close(fd)
-    with urllib.request.urlopen(file_url) as src, open(tmp, "wb") as out:
-        total = int(src.info().get("Content-Length", 0) or 0)
-        done = 0
-        while True:
-            buf = src.read(1 << 20)
-            if not buf:
-                break
-            out.write(buf)
-            done += len(buf)
+    try:
+        with urllib.request.urlopen(file_url) as src, open(tmp, "wb") as out:
+            total = int(src.info().get("Content-Length", 0) or 0)
+            done = 0
+            while True:
+                buf = src.read(1 << 20)
+                if not buf:
+                    break
+                out.write(buf)
+                done += len(buf)
+                if total and sys.stderr.isatty():
+                    sys.stderr.write(
+                        f"\r{os.path.basename(file_path)}: "
+                        f"{done / 1e6:.1f}/{total / 1e6:.1f} MB")
             if total and sys.stderr.isatty():
-                sys.stderr.write(
-                    f"\r{os.path.basename(file_path)}: "
-                    f"{done / 1e6:.1f}/{total / 1e6:.1f} MB")
-        if total and sys.stderr.isatty():
-            sys.stderr.write("\n")
-    os.replace(tmp, file_path)
+                sys.stderr.write("\n")
+        os.replace(tmp, file_path)
+    finally:
+        # a mid-stream failure must not strand a multi-GB .part file
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return file_path
 
 
@@ -242,13 +248,16 @@ def load_model(
             f"Model '{model_name}' not found. Available: {_KNOWN_MODELS}")
 
     resolved = f"v3_{model_name}" if model_name in _SHORT_NAMES else model_name
-    cached = os.path.join(root, f"{resolved}.npz")
-    if os.path.isfile(cached):
-        return _finalize(load_native(cached, **kw))
-
+    # init="random" takes precedence over any cached trained artifact —
+    # a weight-free run must never silently return pretrained params just
+    # because an earlier normal load populated the cache
     if init == "random":
         cfg = make_preset(model_name)
         return _finalize(model_class_for(cfg)(cfg, seed=seed, **kw))
+
+    cached = os.path.join(root, f"{resolved}.npz")
+    if os.path.isfile(cached):
+        return _finalize(load_native(cached, **kw))
 
     # Download the reference torch checkpoint, verify, convert once, and
     # cache the native artifact (reference ``gigaam/__init__.py:158-192``;

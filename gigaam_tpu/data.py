@@ -89,8 +89,17 @@ class AudioDataset:
         if isinstance(item, str):
             import wave
 
-            with wave.open(item, "rb") as wf:
-                return wf.getnframes() / wf.getframerate()
+            try:
+                with wave.open(item, "rb") as wf:
+                    return wf.getnframes() / wf.getframerate()
+            except Exception:
+                # non-PCM WAV or another container (mp3/flac/...):
+                # load_audio handles those via its ffmpeg fallback — decode
+                # once for the duration (the header-only probe is just an
+                # optimization for the common PCM-WAV case)
+                from .audio import load_audio
+
+                return len(load_audio(item)) / SAMPLE_RATE
         return len(np.asarray(item)) / SAMPLE_RATE
 
     def _load_manifest(self, manifest_path: str, min_d: float,
@@ -171,22 +180,25 @@ class AudioDataset:
         if sort_by_duration:
             order = order[np.argsort([s.duration for s in self.samples],
                                      kind="stable")]
+        # batches as index blocks: with sort_by_duration the blocks are cut
+        # BEFORE any shuffle and iterated as units, so a ragged final block
+        # can never misalign later batch boundaries and mix the longest
+        # samples with the shortest
+        n_b = (len(order) + batch_size - 1) // batch_size
+        blocks = [order[i * batch_size:(i + 1) * batch_size]
+                  for i in range(n_b)]
         if shuffle:
             rng = np.random.default_rng(seed)
             if sort_by_duration:
-                # shuffle whole batches, keep within-batch length affinity
-                n_b = (len(order) + batch_size - 1) // batch_size
-                blocks = [order[i * batch_size:(i + 1) * batch_size]
-                          for i in range(n_b)]
-                rng.shuffle(blocks)
-                order = np.concatenate(blocks)
+                rng.shuffle(blocks)  # keep within-batch length affinity
             else:
                 rng.shuffle(order)
+                blocks = [order[i * batch_size:(i + 1) * batch_size]
+                          for i in range(n_b)]
 
-        for i in range(0, len(order), batch_size):
-            idx = order[i: i + batch_size]
+        for idx in blocks:
             if drop_last and len(idx) < batch_size:
-                break
+                continue
             from .native import collate
 
             wavs = [self.load_wav(j) for j in idx]

@@ -154,6 +154,20 @@ def export_model(
                   _export_fn(joint_step, (enc_t, pred)),
                   {"graph": "joint", "batch": b})
 
+    # self-contained artifacts: bundle the sentencepiece model (if any) and
+    # rewrite its path relative to the artifact dir — an absolute path into
+    # the exporting machine's cache would break on any other host
+    if (getattr(cfg, "decoding", None) is not None
+            and cfg.decoding.model_path):
+        import dataclasses
+        import shutil
+
+        shutil.copyfile(cfg.decoding.model_path,
+                        os.path.join(out_dir, "tokenizer.model"))
+        cfg = dataclasses.replace(
+            cfg, decoding=dataclasses.replace(
+                cfg.decoding, model_path="tokenizer.model"))
+
     with open(os.path.join(out_dir, "export_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
@@ -179,6 +193,15 @@ def load_exported(out_dir: str) -> Tuple[ModelConfig, Dict[str, List[ExportedGra
         manifest = json.load(f)
     with open(os.path.join(out_dir, f"{manifest['model_name']}.json")) as f:
         cfg = ModelConfig.from_dict(json.load(f))
+    # bundled tokenizer paths are relative to the artifact dir
+    if (getattr(cfg, "decoding", None) is not None and cfg.decoding.model_path
+            and not os.path.isabs(cfg.decoding.model_path)):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, decoding=dataclasses.replace(
+                cfg.decoding,
+                model_path=os.path.join(out_dir, cfg.decoding.model_path)))
     graphs: Dict[str, List[ExportedGraph]] = {}
     for kind, entries in manifest["graphs"].items():
         graphs[kind] = [

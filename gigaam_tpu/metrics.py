@@ -30,6 +30,10 @@ def wer_counts(hyps: List[str], refs: List[str]) -> Tuple[int, int]:
     native C++ edit distance when built (``native/native.cpp``)."""
     from . import native
 
+    if len(hyps) != len(refs):
+        raise ValueError(
+            f"hyps/refs length mismatch: {len(hyps)} vs {len(refs)} — "
+            "a silent zip-truncation here would report a wrong WER")
     errors = words = 0
     for hyp, ref in zip(hyps, refs):
         rw, hw = ref.split(), hyp.split()

@@ -32,17 +32,43 @@ def initialize(coordinator_address: Optional[str] = None,
     On TPU pods the arguments are discovered from the environment; passing
     nothing is correct there.  Safe no-op when already initialized or when
     running single-process.
+
+    Must run before any other JAX call (backend-initializing probes like
+    ``jax.devices()`` or ``jax.process_count()`` included — an earlier
+    version guarded on process_count and thereby *always* failed on
+    explicitly-addressed clusters, silently running every host
+    single-process).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
-    except (ValueError, RuntimeError):
-        # single-host (no coordinator configured): run locally
-        pass
+    if jax.distributed.is_initialized():
+        return
+    if coordinator_address is None and not _env_configured():
+        return  # single-host: nothing to bootstrap
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+
+
+def _env_configured() -> bool:
+    """True when the environment advertises a *multi-process* setup that
+    jax.distributed.initialize() can auto-discover (single-host markers
+    like TPU_WORKER_HOSTNAMES=localhost must not trigger a bootstrap)."""
+    import os
+
+    env = os.environ
+    if any(env.get(k) for k in ("JAX_COORDINATOR_ADDRESS",
+                                "COORDINATOR_ADDRESS",
+                                "MEGASCALE_COORDINATOR_ADDRESS")):
+        return True
+    if "," in env.get("TPU_WORKER_HOSTNAMES", ""):
+        return True  # multiple pod workers
+    for k in ("OMPI_COMM_WORLD_SIZE", "SLURM_NTASKS", "PMI_SIZE"):
+        try:
+            if int(env.get(k, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
 
 
 def process_shard(items: Sequence[T]) -> List[T]:

@@ -301,3 +301,73 @@ def test_server_beam_size(rnnt_model, tmp_path):
         assert req.error is None and "text" in req.result
     finally:
         srv.shutdown()
+
+
+def _write_tiny_sp_model(path, pieces):
+    """Minimal SentencePiece ModelProto: repeated field 1 of
+    {piece:1 str, score:2 float, type:3 enum}."""
+    import struct
+
+    def varint(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    blob = b""
+    for piece, score, ptype in pieces:
+        pb = piece.encode("utf-8")
+        msg = (bytes([0x0A]) + varint(len(pb)) + pb        # field 1, wire 2
+               + bytes([0x15]) + struct.pack("<f", score)  # field 2, wire 5
+               + bytes([0x18]) + varint(ptype))            # field 3, wire 0
+        blob += bytes([0x0A]) + varint(len(msg)) + msg
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def test_exported_artifact_bundles_sp_tokenizer(tmp_path):
+    """SP-tokenizer models must export a relocatable artifact dir: the
+    .model file is bundled and the stored path is relative (an absolute
+    path into the exporting machine's cache breaks other hosts)."""
+    import shutil
+
+    from gigaam_tpu.config import (CTCHeadConfig, DecodingConfig,
+                                   FeaturesConfig, ModelConfig)
+    from gigaam_tpu.exported_infer import infer_exported
+    from gigaam_tpu.models.model import GigaAMASR
+
+    from test_model_api import tiny_encoder
+
+    sp_path = str(tmp_path / "tok.model")
+    pieces = ([("<unk>", 0.0, 2)]
+              + [(c, -1.0, 1) for c in "абвгде"]
+              + [("▁пр", -0.5, 1)])
+    _write_tiny_sp_model(sp_path, pieces)
+
+    v = len(pieces)
+    cfg = ModelConfig(
+        model_name="tiny_sp_ctc", model_class="asr",
+        preprocessor=FeaturesConfig(), encoder=tiny_encoder(),
+        head=CTCHeadConfig(feat_in=64, num_classes=v + 1),
+        decoding=DecodingConfig(kind="ctc_greedy", vocabulary=[],
+                                model_path=sp_path))
+    model = GigaAMASR(cfg, seed=0, compute_dtype=jnp.float32)
+
+    out = str(tmp_path / "artifact")
+    export_model(model, out, batch_sizes=(2,), audio_seconds=(1,))
+    assert (tmp_path / "artifact" / "tokenizer.model").exists()
+
+    # relocate the artifact AND remove the original tokenizer file: the
+    # moved dir must still decode
+    moved = str(tmp_path / "moved_artifact")
+    shutil.move(out, moved)
+    import os
+    os.remove(sp_path)
+
+    rng = np.random.default_rng(8)
+    wavs = [(0.1 * rng.standard_normal(12000)).astype(np.float32)]
+    hyps = infer_exported(moved, wavs)["hypotheses"]
+    assert len(hyps) == 1 and isinstance(hyps[0], str)

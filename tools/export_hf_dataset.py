@@ -57,9 +57,12 @@ def main() -> None:
     def export(i):
         row = ds[i]
         wav = np.asarray(row[args.audio_column]["array"], dtype=np.float32)
-        path = os.path.join(args.out, "wavs", f"{i:07d}.wav")
-        save_wav(path, wav)
-        return (path, len(wav) / SAMPLE_RATE, str(row[args.text_column]))
+        # manifest rows are relative to the manifest's own directory
+        # (AudioDataset resolves them that way) — the exported tree stays
+        # relocatable
+        rel = os.path.join("wavs", f"{i:07d}.wav")
+        save_wav(os.path.join(args.out, rel), wav)
+        return (rel, len(wav) / SAMPLE_RATE, str(row[args.text_column]))
 
     with ThreadPoolExecutor(max_workers=args.workers) as ex:
         rows = list(ex.map(export, range(len(ds))))
