@@ -53,14 +53,17 @@ class BatchingASRServer:
     """Dynamic-batching inference loop around a GigaAMASR model."""
 
     def __init__(self, model: GigaAMASR, max_batch: int = 8,
-                 batch_window_ms: float = 15.0, beam_size: int = 1):
+                 batch_window_ms: float = 15.0, beam_size: int = 1,
+                 max_queue: int = 256):
         self.model = model
         self.max_batch = max_batch
         # server-wide (not per-request): mixed beam sizes would fragment
         # batches and multiply compiled graphs
         self.beam_size = beam_size
         self.window = batch_window_ms / 1000.0
-        self.q: "queue.Queue[_Request]" = queue.Queue()
+        # bounded: overload answers 503 immediately instead of growing the
+        # queue without limit while clients time out anyway
+        self.q: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -82,7 +85,11 @@ class BatchingASRServer:
     def submit(self, wav: np.ndarray, timestamps: bool,
                timeout: float = 120.0) -> _Request:
         req = _Request(wav, timestamps)
-        self.q.put(req)
+        try:
+            self.q.put_nowait(req)
+        except queue.Full:
+            req.error = "overloaded"
+            return req
         if not req.event.wait(timeout):
             req.error = "timeout"
             # the client stops waiting now: mark it so the batch loop does
@@ -182,7 +189,7 @@ def make_handler(server: BatchingASRServer):
 
         def do_POST(self):
             parsed = urlparse(self.path)
-            if parsed.path != "/transcribe":
+            if parsed.path not in ("/transcribe", "/transcribe_longform"):
                 self._send(404, {"error": "not found"})
                 return
             try:
@@ -200,14 +207,38 @@ def make_handler(server: BatchingASRServer):
             if wav.size == 0:
                 self._send(400, {"error": "empty audio"})
                 return
+            ts = parse_qs(parsed.query).get("timestamps", ["0"])[0] == "1"
+
+            if parsed.path == "/transcribe_longform":
+                # VAD-segmented path: runs outside the batching queue (its
+                # own chunk batches already fill the device)
+                try:
+                    res = server.model.transcribe_longform(
+                        wav, word_timestamps=ts,
+                        beam_size=server.beam_size)
+                except Exception as exc:
+                    self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+                    return
+                segments = [
+                    dict(start=round(s.start, 3), end=round(s.end, 3),
+                         text=s.text,
+                         **({"words": [
+                             {"text": w.text, "start": round(w.start, 3),
+                              "end": round(w.end, 3)}
+                             for w in (s.words or [])]} if ts else {}))
+                    for s in res.segments]
+                self._send(200, {"text": res.text, "segments": segments})
+                return
+
             if wav.size > LONGFORM_THRESHOLD_SEC * SAMPLE_RATE:
                 self._send(400, {
-                    "error": "audio longer than 25 s; use longform "
-                             "client-side segmentation"})
+                    "error": "audio longer than 25 s; use "
+                             "/transcribe_longform"})
                 return
-            ts = parse_qs(parsed.query).get("timestamps", ["0"])[0] == "1"
             req = server.submit(wav, ts)
-            if req.error:
+            if req.error == "overloaded":
+                self._send(503, {"error": "overloaded"})
+            elif req.error:
                 self._send(500, {"error": req.error})
             else:
                 self._send(200, req.result)

@@ -133,12 +133,14 @@ def segment_audio_file(
     new_chunk_threshold: float = 0.2,
     speech_regions_fn: Optional[Callable[[np.ndarray], List[Region]]] = None,
 ) -> Tuple[List[np.ndarray], List[Region]]:
-    """Segment an audio file into ASR-sized chunks.
+    """Segment an audio file (or an in-memory waveform) into ASR-sized
+    chunks.
 
     Returns (wave_segments, (start, end) boundaries), the same contract as
     the reference ``segment_audio_file`` (``gigaam/vad_utils.py:80-136``).
     """
-    audio = load_audio(wav_file, sr)
+    audio = (wav_file if isinstance(wav_file, np.ndarray)
+             else load_audio(wav_file, sr))
     detector = speech_regions_fn or (lambda w: energy_speech_regions(w, sr))
     regions = detector(audio)
     chunks = merge_regions_into_chunks(

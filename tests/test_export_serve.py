@@ -178,6 +178,49 @@ def test_server_error_paths(http_server):
     assert status == 400
 
 
+def test_server_longform_endpoint(http_server):
+    """>25 s audio transcribes via /transcribe_longform with segments."""
+    rng = np.random.default_rng(5)
+    sr = 16000
+    pieces = []
+    for _ in range(3):
+        t = np.arange(sr * 9) / sr
+        pieces.append((0.3 * np.sin(2 * np.pi * 300 * t)
+                       + 0.02 * rng.standard_normal(sr * 9)))
+        pieces.append(np.zeros(sr))
+    wav = np.concatenate(pieces).astype(np.float32)
+    req = urllib.request.Request(
+        http_server + "/transcribe_longform",
+        data=json.dumps({"audio": wav.tolist()}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.loads(r.read())
+    assert "text" in out and isinstance(out["segments"], list)
+    assert out["segments"], "expected at least one VAD segment"
+    for seg in out["segments"]:
+        assert seg["start"] < seg["end"]
+
+
+def test_server_overload_returns_503(ctc_model):
+    """A full queue answers 'overloaded' (503 over HTTP) immediately."""
+    server = BatchingASRServer(ctc_model, max_batch=2, batch_window_ms=5.0,
+                               max_queue=1)
+    try:
+        # freeze the batch loop, then stuff the queue so submit() sees it full
+        server._stop.set()
+        server._thread.join(timeout=2)
+        import numpy as _np
+        from gigaam_tpu.serve import _Request
+
+        server.q.put_nowait(_Request(_np.zeros(1000, _np.float32), False))
+        wav = (0.1 * np.random.default_rng(6)
+               .standard_normal(4000)).astype(np.float32)
+        req = server.submit(wav, timestamps=False, timeout=1.0)
+        assert req.error == "overloaded"
+    finally:
+        server.shutdown()
+
+
 # -- artifact-only inference (reference infer_onnx analogue) ----------------
 
 
