@@ -40,6 +40,23 @@ def transcribe_one(
         return json.loads(resp.read())
 
 
+def transcribe_longform(
+    url: str,
+    wav: np.ndarray,
+    timestamps: bool = False,
+    timeout: float = 600.0,
+) -> Dict:
+    """POST arbitrary-length audio to /transcribe_longform -> segments."""
+    endpoint = f"{url.rstrip('/')}/transcribe_longform"
+    if timestamps:
+        endpoint += "?timestamps=1"
+    body = json.dumps({"audio": np.asarray(wav, np.float32).tolist()}).encode()
+    req = urllib.request.Request(
+        endpoint, data=body, headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
 def transcribe_files(
     url: str,
     files: Sequence[str],
@@ -47,11 +64,22 @@ def transcribe_files(
     concurrency: int = 8,
     timeout: float = 120.0,
 ) -> List[Dict]:
-    """Transcribe audio files against a running server; order-preserving."""
+    """Transcribe audio files against a running server; order-preserving.
+
+    Files longer than the 25 s shortform cap route to the longform
+    endpoint automatically."""
+    from .config import LONGFORM_THRESHOLD_SEC, SAMPLE_RATE
+
     wavs = [load_audio(f) for f in files]
+    cap = LONGFORM_THRESHOLD_SEC * SAMPLE_RATE
+
+    def one(w):
+        if len(w) > cap:
+            return transcribe_longform(url, w, timestamps, max(timeout, 600.0))
+        return transcribe_one(url, w, timestamps, timeout)
+
     with cf.ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
-        futs = [pool.submit(transcribe_one, url, w, timestamps, timeout)
-                for w in wavs]
+        futs = [pool.submit(one, w) for w in wavs]
         return [f.result() for f in futs]
 
 

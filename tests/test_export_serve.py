@@ -414,3 +414,24 @@ def test_exported_artifact_bundles_sp_tokenizer(tmp_path):
     wavs = [(0.1 * rng.standard_normal(12000)).astype(np.float32)]
     hyps = infer_exported(moved, wavs)["hypotheses"]
     assert len(hyps) == 1 and isinstance(hyps[0], str)
+
+
+def test_client_routes_longform_files(tmp_path, http_server):
+    """transcribe_files sends >25 s files to the longform endpoint."""
+    from gigaam_tpu.audio import save_wav
+    from gigaam_tpu.client import transcribe_files
+
+    rng = np.random.default_rng(7)
+    sr = 16000
+    short = str(tmp_path / "short.wav")
+    save_wav(short, (0.1 * rng.standard_normal(sr)).astype(np.float32))
+    t = np.arange(sr * 9) / sr
+    burst = (0.3 * np.sin(2 * np.pi * 280 * t)).astype(np.float32)
+    long_wav = np.concatenate(
+        [burst, np.zeros(sr, np.float32)] * 3).astype(np.float32)
+    long_p = str(tmp_path / "long.wav")
+    save_wav(long_p, long_wav)
+
+    out = transcribe_files(http_server, [short, long_p])
+    assert "text" in out[0] and "segments" not in out[0]
+    assert "segments" in out[1]
