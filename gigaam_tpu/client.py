@@ -23,6 +23,41 @@ import numpy as np
 from .audio import load_audio
 
 
+def _wav_bytes(wav: np.ndarray) -> bytes:
+    """float32 [-1, 1] -> in-memory 16-bit PCM WAV (~1/10 the bytes of a
+    JSON float list; audio is 16-bit at the source so the round trip is
+    exact for loaded files)."""
+    import io
+    import wave
+
+    pcm = np.clip(np.rint(np.asarray(wav, np.float32) * 32768.0),
+                  -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _post_audio(url: str, path: str, wav: np.ndarray, timestamps: bool,
+                timeout: float, as_wav: bool) -> Dict:
+    endpoint = f"{url.rstrip('/')}{path}"
+    if timestamps:
+        endpoint += "?timestamps=1"
+    if as_wav:
+        body = _wav_bytes(wav)
+        headers = {"Content-Type": "audio/wav"}
+    else:
+        body = json.dumps(
+            {"audio": np.asarray(wav, np.float32).tolist()}).encode()
+        headers = {"Content-Type": "application/json"}
+    req = urllib.request.Request(endpoint, data=body, headers=headers)
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
 def transcribe_one(
     url: str,
     wav: np.ndarray,
@@ -30,14 +65,8 @@ def transcribe_one(
     timeout: float = 120.0,
 ) -> Dict:
     """POST one utterance (float32 @ 16 kHz) -> response dict."""
-    endpoint = f"{url.rstrip('/')}/transcribe"
-    if timestamps:
-        endpoint += "?timestamps=1"
-    body = json.dumps({"audio": np.asarray(wav, np.float32).tolist()}).encode()
-    req = urllib.request.Request(
-        endpoint, data=body, headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        return json.loads(resp.read())
+    return _post_audio(url, "/transcribe", wav, timestamps, timeout,
+                       as_wav=False)
 
 
 def transcribe_longform(
@@ -46,15 +75,11 @@ def transcribe_longform(
     timestamps: bool = False,
     timeout: float = 600.0,
 ) -> Dict:
-    """POST arbitrary-length audio to /transcribe_longform -> segments."""
-    endpoint = f"{url.rstrip('/')}/transcribe_longform"
-    if timestamps:
-        endpoint += "?timestamps=1"
-    body = json.dumps({"audio": np.asarray(wav, np.float32).tolist()}).encode()
-    req = urllib.request.Request(
-        endpoint, data=body, headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        return json.loads(resp.read())
+    """POST arbitrary-length audio to /transcribe_longform -> segments.
+
+    Ships compact WAV bytes (an hour of JSON floats would be ~1 GB)."""
+    return _post_audio(url, "/transcribe_longform", wav, timestamps, timeout,
+                       as_wav=True)
 
 
 def transcribe_files(
@@ -62,12 +87,13 @@ def transcribe_files(
     files: Sequence[str],
     timestamps: bool = False,
     concurrency: int = 8,
-    timeout: float = 120.0,
+    timeout: float = 600.0,
 ) -> List[Dict]:
     """Transcribe audio files against a running server; order-preserving.
 
     Files longer than the 25 s shortform cap route to the longform
-    endpoint automatically."""
+    endpoint automatically.  ``timeout`` applies per request, verbatim —
+    size it for the longest file."""
     from .config import LONGFORM_THRESHOLD_SEC, SAMPLE_RATE
 
     wavs = [load_audio(f) for f in files]
@@ -75,7 +101,7 @@ def transcribe_files(
 
     def one(w):
         if len(w) > cap:
-            return transcribe_longform(url, w, timestamps, max(timeout, 600.0))
+            return transcribe_longform(url, w, timestamps, timeout)
         return transcribe_one(url, w, timestamps, timeout)
 
     with cf.ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -369,7 +369,7 @@ class GigaAMASR(GigaAM):
 
     def transcribe_longform(
         self,
-        wav_file: str,
+        wav_file: Union[str, np.ndarray],
         word_timestamps: bool = False,
         fr_batch_size: int = 16,
         beam_size: int = 1,
@@ -386,9 +386,12 @@ class GigaAMASR(GigaAM):
         result_segments: List[Segment] = []
         for i in range(0, len(segments), fr_batch_size):
             chunk = segments[i: i + fr_batch_size]
+            # pad the tail batch's rows too: one compiled graph per
+            # duration bucket instead of one per (tail size, bucket)
             for j, (text, words) in enumerate(
                 self._decode_batch(chunk, word_timestamps,
-                                   beam_size=beam_size)
+                                   beam_size=beam_size,
+                                   pad_rows_to=fr_batch_size)
             ):
                 seg_start, seg_end = boundaries[i + j]
                 if word_timestamps:

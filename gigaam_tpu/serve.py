@@ -13,6 +13,11 @@ HTTP API (stdlib only):
   POST /transcribe           -> {"text": ...[, "words": [...]]}
        body: WAV bytes (Content-Type: audio/wav) or JSON
        {"audio": [floats @16 kHz]}; query ?timestamps=1 for word times.
+       Audio over 25 s is rejected (400) — use /transcribe_longform.
+  POST /transcribe_longform  -> {"text": ..., "segments": [{start, end,
+       text[, words]}]}; same body formats, any duration (VAD-chunked).
+  503 {"error": "overloaded"} when the request queue (shortform) or the
+       longform concurrency slots are full.
 
 Usage: python -m gigaam_tpu.serve --model_name <artifact> --port 8000
 """
@@ -34,6 +39,12 @@ import numpy as np
 
 from .config import LONGFORM_THRESHOLD_SEC, SAMPLE_RATE
 from .models.model import GigaAMASR
+
+
+def _words_json(words) -> list:
+    """Word list -> JSON shape shared by the shortform and longform paths."""
+    return [{"text": w.text, "start": round(w.start, 3),
+             "end": round(w.end, 3)} for w in (words or [])]
 
 
 class _Request:
@@ -64,6 +75,10 @@ class BatchingASRServer:
         # bounded: overload answers 503 immediately instead of growing the
         # queue without limit while clients time out anyway
         self.q: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
+        # longform requests run outside the batching queue; cap their
+        # concurrency so a burst of hour-long posts cannot spawn unbounded
+        # competing device-inference threads
+        self.longform_slots = threading.BoundedSemaphore(2)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -136,9 +151,7 @@ class BatchingASRServer:
             for r, (text, words) in zip(batch, outs):
                 r.result = {"text": text}
                 if r.timestamps and words is not None:
-                    r.result["words"] = [
-                        {"text": w.text, "start": round(w.start, 3),
-                         "end": round(w.end, 3)} for w in words]
+                    r.result["words"] = _words_json(words)
                 r.event.set()
         except Exception as exc:  # surface per-request, keep serving
             for r in batch:
@@ -211,7 +224,11 @@ def make_handler(server: BatchingASRServer):
 
             if parsed.path == "/transcribe_longform":
                 # VAD-segmented path: runs outside the batching queue (its
-                # own chunk batches already fill the device)
+                # own chunk batches already fill the device), concurrency
+                # bounded by longform_slots
+                if not server.longform_slots.acquire(blocking=False):
+                    self._send(503, {"error": "overloaded"})
+                    return
                 try:
                     res = server.model.transcribe_longform(
                         wav, word_timestamps=ts,
@@ -219,13 +236,12 @@ def make_handler(server: BatchingASRServer):
                 except Exception as exc:
                     self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
                     return
+                finally:
+                    server.longform_slots.release()
                 segments = [
                     dict(start=round(s.start, 3), end=round(s.end, 3),
                          text=s.text,
-                         **({"words": [
-                             {"text": w.text, "start": round(w.start, 3),
-                              "end": round(w.end, 3)}
-                             for w in (s.words or [])]} if ts else {}))
+                         **({"words": _words_json(s.words)} if ts else {}))
                     for s in res.segments]
                 self._send(200, {"text": res.text, "segments": segments})
                 return

@@ -15,7 +15,7 @@ A neural JAX VAD can be slotted in by passing ``speech_regions_fn``.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -125,7 +125,7 @@ def merge_regions_into_chunks(
 
 
 def segment_audio_file(
-    wav_file: str,
+    wav_file: Union[str, np.ndarray],
     sr: int = SAMPLE_RATE,
     max_duration: float = 22.0,
     min_duration: float = 15.0,
