@@ -473,10 +473,21 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 
 
 def save_model(model: GigaAM, path: str) -> None:
-    """Save params (npz) + config (json) as a native artifact pair."""
+    """Save params (npz) + config (json) as a native artifact pair.
+
+    Multi-host safe: a collective gather brings sharded params to every
+    host, then only process 0 writes (call from all processes).
+    """
+    params = model.params
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        params = multihost_utils.process_allgather(params)
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path if path.endswith(".npz") else path + ".npz",
-             **_flatten(model.params))
+             **_flatten(params))
     cfg_path = (path[:-4] if path.endswith(".npz") else path) + ".json"
     with open(cfg_path, "w") as f:
         f.write(model.cfg.to_json())

@@ -65,6 +65,20 @@ class TrainConfig:
     accumulate_grad_batches: int = 1
 
 
+def _tree_to_host(tree):
+    """Pytree of (possibly multi-host-sharded) arrays -> host numpy.
+
+    On a single host ``np.asarray`` suffices; across hosts each process
+    only holds its shards, so the tree is allgathered first (a collective:
+    every process must call this, after which only rank 0 needs to write).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        tree = multihost_utils.process_allgather(tree)
+    return jax.tree.map(np.asarray, tree)
+
+
 def _is_bn_buffer(path: Tuple[Any, ...]) -> bool:
     keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
     return "batch_norm" in keys and keys[-1] in ("mean", "var")
@@ -260,12 +274,14 @@ class FineTuner:
         import pickle
 
         state = {
-            "params": jax.tree.map(np.asarray, self.params),
-            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "params": _tree_to_host(self.params),
+            "opt_state": _tree_to_host(self.opt_state),
             "step": self.step,
             "model_config": self.cfg.to_dict(),
             "train_config": dataclasses.asdict(self.tc),
         }
+        if jax.process_index() != 0:
+            return  # every process joined the gather; only rank 0 writes
         import os
 
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -177,9 +177,14 @@ def main(argv: Optional[List[str]] = None) -> None:
         print(f"resumed from {args.resume_from_checkpoint} @ step {ft.step}")
 
     os.makedirs(args.save_dir, exist_ok=True)
+    # on a pod every process runs this CLI; only rank 0 writes the metrics
+    # stream (checkpoint writes are rank-0-gated inside FineTuner)
+    is_main = jax.process_index() == 0
     metrics_f = open(os.path.join(args.save_dir, "metrics.jsonl"), "a")
 
     def log(rec):
+        if not is_main:
+            return
         rec["time"] = round(time.time(), 3)
         metrics_f.write(json.dumps(rec) + "\n")
         metrics_f.flush()
