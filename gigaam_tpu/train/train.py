@@ -34,6 +34,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--min_duration", type=float, default=0.0)
     p.add_argument("--max_duration", type=float, default=None)
     p.add_argument("--raw_text", action="store_true")
+    p.add_argument("--eval_batch_size", type=int, default=None,
+                   help="validation batch size (default: --batch_size)")
+    p.add_argument("--val_first_batches", type=int, default=None,
+                   help="validate on only the first N batches")
     # optimization (reference ``train.py:23-74``)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=0.01)
@@ -97,13 +101,19 @@ class TopKKeeper:
         return None
 
 
-def run_validation(ft, val_ds, batch_size: int) -> Tuple[float, float]:
+def run_validation(ft, val_ds, batch_size: int,
+                   first_batches: Optional[int] = None
+                   ) -> Tuple[float, float]:
     """Full-val loss + WER (reference ``module.py:216-250``: WER counts
     aggregated globally; under a mesh the jitted eval already reduces
-    across devices, no explicit all_reduce needed)."""
+    across devices, no explicit all_reduce needed).  ``first_batches``
+    caps validation to the first N batches (reference
+    ``--val_first_batches``)."""
     tot_loss, n_batches = 0.0, 0
     errors = words = 0
     for batch in val_ds.batches(batch_size, sort_by_duration=True):
+        if first_batches is not None and n_batches >= first_batches:
+            break
         loss, hyps = ft.eval_step(batch)
         e, w = ft.batch_wer(hyps, batch[2], batch[3])
         errors += e
@@ -192,7 +202,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     keeper = TopKKeeper(args.save_dir, args.save_top_k)
 
     def validate(step):
-        vl, vw = run_validation(ft, val_ds, args.batch_size)
+        vl, vw = run_validation(ft, val_ds,
+                                args.eval_batch_size or args.batch_size,
+                                args.val_first_batches)
         print(f"  [val] step={step} val/loss={vl:.4f} val/wer={vw:.4f}")
         log({"kind": "val", "step": step, "loss": vl, "wer": vw})
         keeper.submit(vw, step, ft.save_checkpoint)
