@@ -253,6 +253,21 @@ def load_model(
     # because an earlier normal load populated the cache
     if init == "random":
         cfg = make_preset(model_name)
+        if (cfg.decoding is not None and not cfg.decoding.vocabulary
+                and cfg.decoding.model_path is None):
+            # sentencepiece models (v1_rnnt, e2e variants) resolve their
+            # vocabulary from the downloaded tokenizer; a weight-free run
+            # has none, so synthesize placeholder pieces sized to the head
+            import dataclasses
+
+            from .config import CTCHeadConfig as _Ctc
+
+            n = (cfg.head.num_classes if isinstance(cfg.head, _Ctc)
+                 else cfg.head.joint.num_classes) - 1
+            cfg = dataclasses.replace(
+                cfg, decoding=dataclasses.replace(
+                    cfg.decoding,
+                    vocabulary=[f"<{i}>" for i in range(n)]))
         return _finalize(model_class_for(cfg)(cfg, seed=seed, **kw))
 
     cached = os.path.join(root, f"{resolved}.npz")

@@ -187,3 +187,18 @@ def test_load_model_random_init(wav_file):
         gigaam_tpu.load_model("v2_ctc")
     with pytest.raises(ValueError):
         gigaam_tpu.load_model("not_a_model", init="random")
+
+
+def test_load_model_random_init_sp_models():
+    """SP-tokenizer presets (e2e / v1_rnnt) must work weight-free: the
+    vocabulary is synthesized to the head size when no tokenizer exists."""
+    import gigaam_tpu
+
+    for name in ("v3_e2e_ctc", "v1_rnnt"):
+        model = gigaam_tpu.load_model(name, init="random",
+                                      compute_dtype=jnp.float32)
+        assert len(model.tokenizer) == model.blank_id
+        wav = (0.1 * np.random.default_rng(0)
+               .standard_normal(16000)).astype(np.float32)
+        text, _ = model._decode_batch([wav], word_timestamps=False)[0]
+        assert isinstance(text, str)
