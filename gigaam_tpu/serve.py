@@ -40,6 +40,13 @@ import numpy as np
 from .config import LONGFORM_THRESHOLD_SEC, SAMPLE_RATE
 from .models.model import GigaAMASR
 
+class ASRHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a listen backlog sized for request bursts
+    (the stdlib default of 5 resets connections when a batch of clients
+    connects at once — observed at 32 concurrent posts)."""
+
+    request_queue_size = 128
+
 
 def _words_json(words) -> list:
     """Word list -> JSON shape shared by the shortform and longform paths."""
@@ -283,7 +290,7 @@ def main(argv=None) -> None:
     if args.warmup_seconds:
         print(f"warming up buckets {args.warmup_seconds}...")
         server.warmup(args.warmup_seconds)
-    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    httpd = ASRHTTPServer((args.host, args.port), make_handler(server))
     print(f"serving {model.cfg.model_name} on http://{args.host}:{args.port}")
     try:
         httpd.serve_forever()
