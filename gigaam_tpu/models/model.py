@@ -278,6 +278,84 @@ class GigaAMASR(GigaAM):
         log_probs = heads_lib.ctc_log_probs(params["head"], encoded)
         return log_probs.astype(jnp.float32), enc_lens
 
+    def _decode_batch_submit(
+        self, wavs: List[np.ndarray], word_timestamps: bool,
+        beam_size: int = 1,
+        pad_rows_to: int = 0,
+    ):
+        """Start the device work for a batch; returns ``finalize()``.
+
+        The jit dispatch is asynchronous, so a caller may submit the next
+        batch *before* finalizing this one — serving pipelines batches this
+        way, overlapping device compute with the previous batch's readback
+        and host-side decode.  ``finalize()`` blocks on the device results
+        and returns the ``_decode_batch`` output list."""
+        n = len(wavs)
+        if pad_rows_to > n:
+            filler = np.zeros(min(len(w) for w in wavs), np.float32)
+            wavs = list(wavs) + [filler] * (pad_rows_to - n)
+        wavs, _ = self._dp_pad(wavs)
+        batch, lens = pad_wav_batch(wavs)
+        pos = self._pos_for(batch.shape[1])
+        dev_batch, dev_lens = self._device_batch(batch, lens)
+
+        is_ctc = isinstance(self.cfg.head, CTCHeadConfig)
+        if is_ctc and beam_size > 1:
+            if self._ctc_lp_jit is None:
+                self._ctc_lp_jit = jax.jit(self._ctc_logprobs_impl)
+            log_probs, enc_lens = self._ctc_lp_jit(
+                self.params, dev_batch, dev_lens, pos)
+
+            def decode_host():
+                from ..decode.ctc_beam import ctc_beam_batch
+
+                return ctc_beam_batch(np.asarray(log_probs)[:n],
+                                      np.asarray(enc_lens)[:n],
+                                      beam_size=beam_size)
+        elif is_ctc:
+            labels, keep, enc_lens = self._asr_fwd(
+                self.params, dev_batch, dev_lens, pos)
+
+            def decode_host():
+                return ctc_extract(np.asarray(labels)[:n],
+                                   np.asarray(keep)[:n])
+        else:
+            encoded, enc_lens = self._encode_jit(
+                self.params, dev_batch, dev_lens, pos)
+            if beam_size > 1:
+                from ..decode.rnnt_beam import rnnt_beam_decode
+
+                tokens, frames, counts = rnnt_beam_decode(
+                    self.params["head"], encoded, enc_lens,
+                    beam_size=beam_size,
+                    max_symbols=self.cfg.decoding.max_symbols_per_step)
+            else:
+                tokens, frames, counts = rnnt_greedy_decode(
+                    self.params["head"], encoded, enc_lens,
+                    max_symbols=self.cfg.decoding.max_symbols_per_step)
+
+            def decode_host():
+                return rnnt_extract(np.asarray(tokens)[:n],
+                                    np.asarray(frames)[:n],
+                                    np.asarray(counts)[:n])
+
+        def finalize() -> List[Tuple[str, Optional[List[Word]]]]:
+            decoded = decode_host()
+            enc_lens_np = np.asarray(enc_lens)
+            out: List[Tuple[str, Optional[List[Word]]]] = []
+            for i, (ids, frames_i) in enumerate(decoded):
+                text = self.tokenizer.decode(ids)
+                words = None
+                if word_timestamps:
+                    shift = compute_frame_shift(int(lens[i]),
+                                                int(enc_lens_np[i]))
+                    words = frames_to_words(self.tokenizer, ids, frames_i,
+                                            shift)
+                out.append((text, words))
+            return out
+
+        return finalize
+
     def _decode_batch(
         self, wavs: List[np.ndarray], word_timestamps: bool,
         beam_size: int = 1,
@@ -296,58 +374,9 @@ class GigaAMASR(GigaAM):
 
         Under ``set_mesh``, the batch is sharded across the mesh "data"
         axis — the multi-chip longform path."""
-        n = len(wavs)
-        if pad_rows_to > n:
-            filler = np.zeros(min(len(w) for w in wavs), np.float32)
-            wavs = list(wavs) + [filler] * (pad_rows_to - n)
-        wavs, _ = self._dp_pad(wavs)
-        batch, lens = pad_wav_batch(wavs)
-        pos = self._pos_for(batch.shape[1])
-        dev_batch, dev_lens = self._device_batch(batch, lens)
-        if isinstance(self.cfg.head, CTCHeadConfig):
-            if beam_size > 1:
-                from ..decode.ctc_beam import ctc_beam_batch
-
-                if self._ctc_lp_jit is None:
-                    self._ctc_lp_jit = jax.jit(self._ctc_logprobs_impl)
-                log_probs, enc_lens = self._ctc_lp_jit(
-                    self.params, dev_batch, dev_lens, pos)
-                decoded = ctc_beam_batch(np.asarray(log_probs)[:n],
-                                         np.asarray(enc_lens)[:n],
-                                         beam_size=beam_size)
-            else:
-                labels, keep, enc_lens = self._asr_fwd(
-                    self.params, dev_batch, dev_lens, pos)
-                decoded = ctc_extract(np.asarray(labels)[:n],
-                                      np.asarray(keep)[:n])
-        else:
-            encoded, enc_lens = self._encode_jit(
-                self.params, dev_batch, dev_lens, pos)
-            if beam_size > 1:
-                from ..decode.rnnt_beam import rnnt_beam_decode
-
-                tokens, frames, counts = rnnt_beam_decode(
-                    self.params["head"], encoded, enc_lens,
-                    beam_size=beam_size,
-                    max_symbols=self.cfg.decoding.max_symbols_per_step)
-            else:
-                tokens, frames, counts = rnnt_greedy_decode(
-                    self.params["head"], encoded, enc_lens,
-                    max_symbols=self.cfg.decoding.max_symbols_per_step)
-            decoded = rnnt_extract(np.asarray(tokens)[:n],
-                                   np.asarray(frames)[:n],
-                                   np.asarray(counts)[:n])
-
-        enc_lens_np = np.asarray(enc_lens)
-        out: List[Tuple[str, Optional[List[Word]]]] = []
-        for i, (ids, frames_i) in enumerate(decoded):
-            text = self.tokenizer.decode(ids)
-            words = None
-            if word_timestamps:
-                shift = compute_frame_shift(int(lens[i]), int(enc_lens_np[i]))
-                words = frames_to_words(self.tokenizer, ids, frames_i, shift)
-            out.append((text, words))
-        return out
+        return self._decode_batch_submit(wavs, word_timestamps,
+                                         beam_size=beam_size,
+                                         pad_rows_to=pad_rows_to)()
 
     # -- public API --------------------------------------------------------
 

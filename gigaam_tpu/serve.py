@@ -121,28 +121,47 @@ class BatchingASRServer:
             req.abandoned = True
         return req
 
+    def _collect(self, first: _Request) -> List[_Request]:
+        batch = [first]
+        deadline = time.monotonic() + self.window
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
     def _loop(self) -> None:
         while not self._stop.is_set():
             try:
                 first = self.q.get(timeout=0.1)
             except queue.Empty:
                 continue
-            batch = [first]
-            deadline = time.monotonic() + self.window
-            while len(batch) < self.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
+            cur = self._start(self._collect(first))
+            # pipeline under backlog: dispatch the next batch's device work
+            # before blocking on this one's readback — device compute
+            # overlaps host extraction and the per-dispatch round trip.
+            # A lone request (empty queue) finalizes immediately, so idle
+            # latency is unchanged.
+            while cur is not None and not self._stop.is_set():
                 try:
-                    batch.append(self.q.get(timeout=remaining))
+                    nxt_first = self.q.get_nowait()
                 except queue.Empty:
                     break
-            self._process(batch)
+                nxt = self._start(self._collect(nxt_first))
+                self._finish(*cur)
+                cur = nxt
+            if cur is not None:
+                self._finish(*cur)
 
-    def _process(self, batch: List[_Request]) -> None:
+    def _start(self, batch: List[_Request]):
+        """Dispatch a batch's device work; returns (batch, finalize_fn)."""
         batch = [r for r in batch if not r.abandoned]
         if not batch:
-            return
+            return None
         try:
             want_ts = any(r.timestamps for r in batch)
             # pad the device row count to max_batch: otherwise every
@@ -151,16 +170,25 @@ class BatchingASRServer:
             # explosion at ~minutes per graph for the 220M models); filler
             # rows cost almost nothing on the MXU and are dropped before
             # any host-side decode work
-            outs = self.model._decode_batch([r.wav for r in batch],
-                                            word_timestamps=want_ts,
-                                            beam_size=self.beam_size,
-                                            pad_rows_to=self.max_batch)
+            finalize = self.model._decode_batch_submit(
+                [r.wav for r in batch], word_timestamps=want_ts,
+                beam_size=self.beam_size, pad_rows_to=self.max_batch)
+            return batch, finalize
+        except Exception as exc:  # surface per-request, keep serving
+            for r in batch:
+                r.error = f"{type(exc).__name__}: {exc}"
+                r.event.set()
+            return None
+
+    def _finish(self, batch: List[_Request], finalize) -> None:
+        try:
+            outs = finalize()
             for r, (text, words) in zip(batch, outs):
                 r.result = {"text": text}
                 if r.timestamps and words is not None:
                     r.result["words"] = _words_json(words)
                 r.event.set()
-        except Exception as exc:  # surface per-request, keep serving
+        except Exception as exc:
             for r in batch:
                 r.error = f"{type(exc).__name__}: {exc}"
                 r.event.set()

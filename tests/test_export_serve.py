@@ -151,20 +151,20 @@ def test_server_pads_rows_to_max_batch(ctc_model):
     server = BatchingASRServer(ctc_model, max_batch=4, batch_window_ms=5.0)
     try:
         seen = []
-        orig = ctc_model._decode_batch
+        orig = ctc_model._decode_batch_submit
 
         def spy(wavs, *a, **kw):
             seen.append(kw.get("pad_rows_to", 0))
             return orig(wavs, *a, **kw)
 
-        ctc_model._decode_batch = spy
+        ctc_model._decode_batch_submit = spy
         wav = (0.1 * np.random.default_rng(4)
                .standard_normal(8000)).astype(np.float32)
         req = server.submit(wav, timestamps=False)
         assert req.error is None and req.result["text"] is not None
         assert seen and all(n == 4 for n in seen), seen
     finally:
-        ctc_model._decode_batch = orig
+        ctc_model._decode_batch_submit = orig
         server.shutdown()
 
 
