@@ -412,16 +412,21 @@ class GigaAMASR(GigaAM):
         if not segments:
             return LongformTranscriptionResult(segments=[])
 
+        # submit every chunk batch's device work up front (async jit
+        # dispatch), then finalize in order: batch i+1 computes while batch
+        # i's readback + host decode runs.  Row counts pad to
+        # fr_batch_size so one compiled graph exists per duration bucket.
+        pending = [
+            (i, self._decode_batch_submit(segments[i: i + fr_batch_size],
+                                          word_timestamps,
+                                          beam_size=beam_size,
+                                          pad_rows_to=fr_batch_size))
+            for i in range(0, len(segments), fr_batch_size)
+        ]
+
         result_segments: List[Segment] = []
-        for i in range(0, len(segments), fr_batch_size):
-            chunk = segments[i: i + fr_batch_size]
-            # pad the tail batch's rows too: one compiled graph per
-            # duration bucket instead of one per (tail size, bucket)
-            for j, (text, words) in enumerate(
-                self._decode_batch(chunk, word_timestamps,
-                                   beam_size=beam_size,
-                                   pad_rows_to=fr_batch_size)
-            ):
+        for i, finalize in pending:
+            for j, (text, words) in enumerate(finalize()):
                 seg_start, seg_end = boundaries[i + j]
                 if word_timestamps:
                     words = [
