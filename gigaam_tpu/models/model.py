@@ -253,9 +253,13 @@ class GigaAMASR(GigaAM):
         self.tokenizer = Tokenizer(vocab or [], cfg.decoding.model_path)
         super().__init__(cfg, **kw)
         self.blank_id = len(self.tokenizer)
-        self._ctc_lp_jit = None  # built on first CTC beam decode
+        self._ctc_lp_jit = None
         if isinstance(cfg.head, CTCHeadConfig):
             self._asr_fwd = jax.jit(self._ctc_forward_impl)
+            # built eagerly (the wrapper is free; compilation stays lazy):
+            # a lazy None-check would race under the threaded server and
+            # build two wrappers with separate compile caches
+            self._ctc_lp_jit = jax.jit(self._ctc_logprobs_impl)
 
     def _init_head(self, key: jax.Array) -> Dict[str, Any]:
         head = self.cfg.head
@@ -301,8 +305,6 @@ class GigaAMASR(GigaAM):
 
         is_ctc = isinstance(self.cfg.head, CTCHeadConfig)
         if is_ctc and beam_size > 1:
-            if self._ctc_lp_jit is None:
-                self._ctc_lp_jit = jax.jit(self._ctc_logprobs_impl)
             log_probs, enc_lens = self._ctc_lp_jit(
                 self.params, dev_batch, dev_lens, pos)
 
@@ -412,20 +414,27 @@ class GigaAMASR(GigaAM):
         if not segments:
             return LongformTranscriptionResult(segments=[])
 
-        # submit every chunk batch's device work up front (async jit
-        # dispatch), then finalize in order: batch i+1 computes while batch
-        # i's readback + host decode runs.  Row counts pad to
-        # fr_batch_size so one compiled graph exists per duration bucket.
-        pending = [
-            (i, self._decode_batch_submit(segments[i: i + fr_batch_size],
-                                          word_timestamps,
-                                          beam_size=beam_size,
-                                          pad_rows_to=fr_batch_size))
-            for i in range(0, len(segments), fr_batch_size)
-        ]
+        # pipeline chunk batches with a bounded lookahead: batch i+1's
+        # device work dispatches (async) before batch i's readback + host
+        # decode, while only 2 batches are ever in flight — submitting ALL
+        # up front would pin O(hours/25s) input+output buffers in HBM.
+        # Row counts pad to fr_batch_size so one compiled graph exists per
+        # duration bucket.
+        starts = list(range(0, len(segments), fr_batch_size))
 
+        def submit(i: int):
+            return (i, self._decode_batch_submit(
+                segments[i: i + fr_batch_size], word_timestamps,
+                beam_size=beam_size, pad_rows_to=fr_batch_size))
+
+        from collections import deque
+
+        inflight = deque([submit(starts[0])])
         result_segments: List[Segment] = []
-        for i, finalize in pending:
+        for k in range(len(starts)):
+            if k + 1 < len(starts):
+                inflight.append(submit(starts[k + 1]))
+            i, finalize = inflight.popleft()
             for j, (text, words) in enumerate(finalize()):
                 seg_start, seg_end = boundaries[i + j]
                 if word_timestamps:

@@ -157,8 +157,19 @@ class BatchingASRServer:
             if cur is not None:
                 self._finish(*cur)
 
+    @staticmethod
+    def _fail(batch: List[_Request], exc: Exception) -> None:
+        """Surface an error per-request and release the waiters."""
+        for r in batch:
+            r.error = f"{type(exc).__name__}: {exc}"
+            r.event.set()
+
     def _start(self, batch: List[_Request]):
-        """Dispatch a batch's device work; returns (batch, finalize_fn)."""
+        """Dispatch a batch's device work.
+
+        Returns (batch, finalize_fn), or None when every request in the
+        batch was abandoned or the dispatch itself failed (errors are
+        already surfaced to the requests in that case)."""
         batch = [r for r in batch if not r.abandoned]
         if not batch:
             return None
@@ -175,9 +186,7 @@ class BatchingASRServer:
                 beam_size=self.beam_size, pad_rows_to=self.max_batch)
             return batch, finalize
         except Exception as exc:  # surface per-request, keep serving
-            for r in batch:
-                r.error = f"{type(exc).__name__}: {exc}"
-                r.event.set()
+            self._fail(batch, exc)
             return None
 
     def _finish(self, batch: List[_Request], finalize) -> None:
@@ -189,9 +198,7 @@ class BatchingASRServer:
                     r.result["words"] = _words_json(words)
                 r.event.set()
         except Exception as exc:
-            for r in batch:
-                r.error = f"{type(exc).__name__}: {exc}"
-                r.event.set()
+            self._fail(batch, exc)
 
     def shutdown(self) -> None:
         self._stop.set()
