@@ -145,3 +145,32 @@ def test_grad_accumulation_equivalence():
     wa = np.asarray(ft_full.params["head"]["proj"]["w"])
     wb = np.asarray(ft_accum.params["head"]["proj"]["w"])
     np.testing.assert_allclose(wa, wb, atol=1e-5)
+
+
+def test_convert_checkpoint_tool(tmp_path):
+    """tools/convert_checkpoint.py converts a reference .ckpt into an
+    artifact that load_model can use."""
+    import runpy
+    import sys
+
+    import torch
+
+    import gigaam_tpu
+    from test_checkpoint import _ref_cfg_dict, _ref_state_dict
+
+    ckpt = str(tmp_path / "v3_ctc.ckpt")
+    torch.save({"cfg": _ref_cfg_dict("ctc"),
+                "state_dict": _ref_state_dict("ctc")}, ckpt)
+    out = str(tmp_path / "converted")
+    argv = sys.argv
+    try:
+        sys.argv = ["convert_checkpoint.py", ckpt, "--out", out,
+                    "--model-name", "v3_ctc"]
+        runpy.run_path("tools/convert_checkpoint.py", run_name="__main__")
+    finally:
+        sys.argv = argv
+    model = gigaam_tpu.load_model(out)
+    wav = (0.1 * __import__("numpy").random.default_rng(0)
+           .standard_normal(16000)).astype("float32")
+    text, _ = model._decode_batch([wav], word_timestamps=False)[0]
+    assert isinstance(text, str)
