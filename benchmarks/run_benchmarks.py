@@ -245,7 +245,8 @@ def main() -> None:
         from gigaam_tpu.train.finetune import FineTuner, TrainConfig
 
         def time_train(kind: str, b: int, sec: int) -> None:
-            model_t = load_model(f"v3_{kind}", init="random")
+            name = kind if kind.startswith("v") else f"v3_{kind}"
+            model_t = load_model(name, init="random")
             # remat keeps bs8 x 20 s within a single 16 GB chip (the
             # reference needs activation checkpointing for 24 GB GPUs too)
             tc = TrainConfig(lr=1e-5, total_steps=100, precision="bf16",
@@ -291,6 +292,9 @@ def main() -> None:
         time_train("ctc", 8, 20)
         if not args.quick:
             time_train("rnnt", 8, 20)
+            # rel-pos generation: exercises the fused rel-pos kernel's
+            # Pallas backward (shear/unshear in VMEM)
+            time_train("v2_ctc", 8, 20)
 
     if args.json:
         with open(args.json, "w") as f:
