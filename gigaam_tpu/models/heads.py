@@ -33,17 +33,22 @@ Params = Dict[str, Any]
 # CTC
 # ---------------------------------------------------------------------------
 
-def init_ctc_head(key: jax.Array, cfg: CTCHeadConfig) -> Params:
-    bound = 1.0 / math.sqrt(cfg.feat_in)
+def _init_proj_head(key: jax.Array, feat_in: int, num_classes: int) -> Params:
+    """torch-style Linear init, shared by the CTC and emo heads."""
+    bound = 1.0 / math.sqrt(feat_in)
     k1, k2 = jax.random.split(key)
     return {
         "proj": {
-            "w": jax.random.uniform(k1, (cfg.feat_in, cfg.num_classes),
+            "w": jax.random.uniform(k1, (feat_in, num_classes),
                                     jnp.float32, -bound, bound),
-            "b": jax.random.uniform(k2, (cfg.num_classes,),
+            "b": jax.random.uniform(k2, (num_classes,),
                                     jnp.float32, -bound, bound),
         }
     }
+
+
+def init_ctc_head(key: jax.Array, cfg: CTCHeadConfig) -> Params:
+    return _init_proj_head(key, cfg.feat_in, cfg.num_classes)
 
 
 def ctc_log_probs(params: Params, encoded: jnp.ndarray) -> jnp.ndarray:
@@ -75,12 +80,17 @@ def init_rnnt_head(key: jax.Array, cfg: RNNTHeadConfig) -> Params:
     bound = 1.0 / math.sqrt(h)
     for li in range(dec.pred_rnn_layers):
         k = jax.random.fold_in(kd, 100 + li)
-        k1, k2, k3 = jax.random.split(k, 3)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
         layers.append({
             "w_ih": jax.random.uniform(k1, (h, 4 * h), jnp.float32, -bound, bound),
             "w_hh": jax.random.uniform(k2, (h, 4 * h), jnp.float32, -bound, bound),
-            "b": jax.random.uniform(k3, (4 * h,), jnp.float32,
-                                    -2 * bound, 2 * bound),
+            # torch keeps separate b_ih + b_hh, each U(-bound, bound); our
+            # fused bias must be their SUM (triangular distribution), not a
+            # single U(-2*bound, 2*bound) draw, which would double the
+            # variance of the initial gate biases
+            "b": (jax.random.uniform(k3, (4 * h,), jnp.float32, -bound, bound)
+                  + jax.random.uniform(k4, (4 * h,), jnp.float32, -bound,
+                                       bound)),
         })
 
     def lin(k, i, o):
@@ -172,16 +182,7 @@ def rnnt_joint_logits(
 # ---------------------------------------------------------------------------
 
 def init_emo_head(key: jax.Array, cfg: EmoHeadConfig) -> Params:
-    bound = 1.0 / math.sqrt(cfg.feat_in)
-    k1, k2 = jax.random.split(key)
-    return {
-        "proj": {
-            "w": jax.random.uniform(k1, (cfg.feat_in, cfg.num_classes),
-                                    jnp.float32, -bound, bound),
-            "b": jax.random.uniform(k2, (cfg.num_classes,),
-                                    jnp.float32, -bound, bound),
-        }
-    }
+    return _init_proj_head(key, cfg.feat_in, cfg.num_classes)
 
 
 def emo_probs(params: Params, encoded: jnp.ndarray,

@@ -42,7 +42,6 @@ from ..ops.lstm import lstm_cell
 
 Params = Dict[str, object]
 
-LEAKY_SLOPE = 0.01          # torch nn.LeakyReLU default
 IN_EPS = 1e-5               # torch nn.InstanceNorm1d default
 
 
@@ -122,7 +121,7 @@ def _maxpool(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _leaky(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.where(x >= 0, x, LEAKY_SLOPE * x)
+    return jax.nn.leaky_relu(x)  # negative_slope=0.01 == torch default
 
 
 def _bilstm(layers: List[Dict[str, Params]], x: jnp.ndarray) -> jnp.ndarray:
@@ -244,9 +243,13 @@ def sliding_class_probs(
 
     if len(wav) < rf_k:
         wav = np.pad(wav, (0, rf_k - len(wav)))
+    audio_len = len(wav)
     if len(wav) <= win:
+        # keep the canonical window length (zero-padded) so every clip
+        # shorter than window_s shares ONE compiled graph instead of
+        # recompiling per distinct duration; padded frames drop below
         starts = [0]
-        win = len(wav)
+        wav = np.pad(wav, (0, win - len(wav)))
     else:
         # starts are multiples of step (itself a multiple of the frame hop),
         # keeping every window's frame grid aligned with the global one;
@@ -254,12 +257,18 @@ def sliding_class_probs(
         starts = list(range(0, len(wav) - win + step, step))
 
     frames_per_win = cfg.num_frames(win)
-    windows = np.zeros((len(starts), win), dtype=np.float32)
+    # pad the window batch to a multiple of 8: otherwise every distinct
+    # window count (i.e. every distinct audio duration) recompiles the
+    # BiLSTM net; surplus windows are dropped below
+    n_win = len(starts)
+    n_pad = -n_win % 8
+    windows = np.zeros((n_win + n_pad, win), dtype=np.float32)
     for i, s in enumerate(starts):
         seg = wav[s:s + win]
         windows[i, :len(seg)] = seg
 
     probs = np.asarray(_window_probs(params, jnp.asarray(windows), cfg))
+    probs = probs[:n_win]
 
     n_frames = (starts[-1] // rf_s) + frames_per_win
     acc = np.zeros((n_frames, probs.shape[-1]), dtype=np.float64)
@@ -270,7 +279,12 @@ def sliding_class_probs(
         cnt[f0:f0 + frames_per_win] += 1.0
     avg = (acc / np.maximum(cnt, 1.0)).astype(np.float32)
     times = (np.arange(n_frames) * rf_s + rf_k / 2) / sr
-    return avg, times
+    # the final (zero-padded) window classifies frames past the audio end:
+    # an all-zero, bias-driven input can argmax to a speech class and
+    # hallucinate regions beyond (or inverted around) the waveform — keep
+    # only frames whose receptive field starts inside the audio
+    keep = (np.arange(n_frames) * rf_s) < audio_len
+    return avg[keep], times[keep]
 
 
 def speech_regions(

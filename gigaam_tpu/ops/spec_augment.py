@@ -19,8 +19,12 @@ def _mask_axis(
     """Apply one random zero-mask along ``axis`` of feats [B, F, T]."""
     b = feats.shape[0]
     k1, k2 = jax.random.split(key)
-    width = jax.random.uniform(k1, (b,)) * max_width        # [B] float
-    start = jax.random.uniform(k2, (b,)) * (axis_size - width)
+    # torchaudio truncates the sampled floats to integers
+    # (mask_along_axis_iid: ``value.long()`` / ``min_value.long()``), so
+    # exactly floor(width) bins mask starting at an integer offset —
+    # fractional comparisons would shift the masked-bin count distribution
+    width = jnp.floor(jax.random.uniform(k1, (b,)) * max_width)   # [B]
+    start = jnp.floor(jax.random.uniform(k2, (b,)) * (axis_size - width))
     idx = jnp.arange(axis_size)[None, :]                    # [1, S]
     mask = (idx >= start[:, None]) & (idx < (start + width)[:, None])
     shape = [b, 1, 1]

@@ -71,10 +71,16 @@ def device_timeit(
             aa[perturb_arg] = aa[perturb_arg] + jnp.asarray(
                 1e-7 * i, aa[perturb_arg].dtype)
             out = fn(*aa)
-            leaves = jax.tree.leaves(out)
-            # abs before the reduction: a plain sum would let XLA rewrite
-            # sum(A@B) into dot(colsum(A), rowsum(B)) and skip the matmul
-            return acc + jnp.sum(jnp.abs(leaves[0])).astype(jnp.float32)
+            # anchor EVERY output leaf: reducing only leaves[0] lets XLA
+            # dead-code-eliminate all compute feeding the other outputs
+            # (e.g. timing an encoder via (lengths, encoded) would DCE the
+            # whole encoder and report fantasy numbers).  abs before the
+            # reduction: a plain sum would let XLA rewrite sum(A@B) into
+            # dot(colsum(A), rowsum(B)) and skip the matmul.
+            total = jnp.float32(0)
+            for leaf in jax.tree.leaves(out):
+                total = total + jnp.sum(jnp.abs(leaf)).astype(jnp.float32)
+            return acc + total
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
