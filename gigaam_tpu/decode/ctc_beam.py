@@ -24,13 +24,6 @@ import numpy as np
 NEG_INF = -np.inf
 
 
-def _logaddexp(a: float, b: float) -> float:
-    if a == NEG_INF:
-        return b
-    if b == NEG_INF:
-        return a
-    m = a if a > b else b
-    return m + np.log1p(np.exp(-abs(a - b)))
 
 
 def ctc_prefix_beam(
@@ -74,12 +67,12 @@ def ctc_prefix_beam(
             return s
 
         for prefix, (p_b, p_nb, frames) in beams.items():
-            total = _logaddexp(p_b, p_nb)
+            total = np.logaddexp(p_b, p_nb)
             last = prefix[-1] if prefix else -1
 
             # stay on this prefix via blank
             s = slot(prefix)
-            s[0] = _logaddexp(s[0], total + lp[blank])
+            s[0] = np.logaddexp(s[0], total + lp[blank])
             if s[3] < total:
                 s[2], s[3] = frames, total
 
@@ -91,7 +84,7 @@ def ctc_prefix_beam(
                     # repeated symbol with no separating blank collapses:
                     # stays on this prefix (non-blank path)
                     s = slot(prefix)
-                    s[1] = _logaddexp(s[1], p_nb + lp[c])
+                    s[1] = np.logaddexp(s[1], p_nb + lp[c])
                     if s[3] < total:
                         s[2], s[3] = frames, total
                     src = p_b  # extension needs a blank in between
@@ -100,16 +93,18 @@ def ctc_prefix_beam(
                 if src == NEG_INF:
                     continue
                 e = slot(prefix + (c,))
-                e[1] = _logaddexp(e[1], src + lp[c])
+                e[1] = np.logaddexp(e[1], src + lp[c])
                 if e[3] < src:
                     e[2], e[3] = frames + [t], src
 
         ranked = sorted(nxt.items(),
-                        key=lambda kv: _logaddexp(kv[1][0], kv[1][1]),
+                        key=lambda kv: np.logaddexp(kv[1][0], kv[1][1]),
                         reverse=True)[:beam_size]
         beams = {k: [v[0], v[1], v[2]] for k, v in ranked}
 
-    best = max(beams.items(), key=lambda kv: _logaddexp(kv[1][0], kv[1][1]))
+    best = max(beams.items(), key=lambda kv: np.logaddexp(kv[1][0], kv[1][1]))
+    if best[1][2] is None:  # every path had -inf score (degenerate input)
+        return [], []
     return list(best[0]), list(best[1][2])
 
 

@@ -13,7 +13,13 @@ _WORD_BOUNDARY = "▁"
 
 
 def compute_frame_shift(audio_length_samples: int, seq_len: int) -> float:
-    """Seconds per encoder frame (``timestamps_utils.py:8-10``)."""
+    """Seconds per encoder frame (``timestamps_utils.py:8-10``).
+
+    ``seq_len`` can be 0 for near-empty audio (fewer samples than one
+    frontend hop); no tokens exist then either, so any finite shift works.
+    """
+    if seq_len <= 0:
+        return 0.0
     return audio_length_samples / SAMPLE_RATE / seq_len
 
 

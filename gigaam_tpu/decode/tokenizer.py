@@ -78,15 +78,25 @@ def parse_sp_model(path: str) -> List[Tuple[str, float, int]]:
         buf = f.read()
     pieces: List[Tuple[str, float, int]] = []
     pos = 0
-    while pos < len(buf):
-        tag, pos = _read_varint(buf, pos)
-        field, wire = tag >> 3, tag & 7
-        if field == 1 and wire == 2:      # repeated pieces
-            ln, pos = _read_varint(buf, pos)
-            pieces.append(_parse_sentencepiece(buf[pos:pos + ln]))
-            pos += ln
-        else:
-            pos = _skip_field(buf, pos, wire)
+    try:
+        while pos < len(buf):
+            tag, pos = _read_varint(buf, pos)
+            field, wire = tag >> 3, tag & 7
+            if field == 1 and wire == 2:      # repeated pieces
+                ln, pos = _read_varint(buf, pos)
+                pieces.append(_parse_sentencepiece(buf[pos:pos + ln]))
+                pos += ln
+            else:
+                pos = _skip_field(buf, pos, wire)
+    except (IndexError, ValueError, UnicodeDecodeError) as exc:
+        # truncated/corrupt file: surface a diagnosable error instead of a
+        # bare parser traceback
+        raise ValueError(
+            f"invalid sentencepiece model file {path!r} "
+            f"(truncated or corrupt at byte {pos}): {exc}") from exc
+    if not pieces:
+        raise ValueError(
+            f"invalid sentencepiece model file {path!r}: no pieces found")
     return pieces
 
 

@@ -41,16 +41,29 @@ def main(argv: Optional[List[str]] = None) -> None:
     ds = AudioDataset(args.manifest, tokenizer=model.tokenizer,
                       max_duration=args.max_duration, return_tokens=False)
 
+    from gigaam_tpu.data import prefetch_batches
+
     hyps: List[str] = []
     refs: List[str] = []
     idx = 0
-    for wavs_pad, lens in ds.batches(args.batch_size, sort_by_duration=False):
+    # pipeline with one batch of lookahead: batch i+1's audio prefetches
+    # and its device work dispatches while batch i finalizes; pad_rows_to
+    # keeps the ragged final batch on the same compiled graph
+    pending = None
+    for wavs_pad, lens in prefetch_batches(
+            ds.batches(args.batch_size, sort_by_duration=False)):
         wav_list = [wavs_pad[i, : lens[i]] for i in range(len(lens))]
-        for text, _ in model._decode_batch(wav_list, word_timestamps=False,
-                                   beam_size=args.beam_size):
-            hyps.append(text)
+        finalize = model._decode_batch_submit(
+            wav_list, word_timestamps=False, beam_size=args.beam_size,
+            pad_rows_to=args.batch_size)
+        if pending is not None:
+            hyps.extend(t for t, _ in pending())
+        pending = finalize
+        for _ in range(len(lens)):
             refs.append(ds.samples[idx].text or "")
             idx += 1
+    if pending is not None:
+        hyps.extend(t for t, _ in pending())
 
     with open(args.out, "w") as f:
         for i, (h, r) in enumerate(zip(hyps, refs)):

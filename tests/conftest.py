@@ -11,13 +11,15 @@ back to cpu-only *after* importing jax and before any backend is touched.
 """
 
 import os
+import re
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# force OUR device count even if the environment already carries one — an
+# inherited count below 8 would silently skip every multi-chip test
+_flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                os.environ.get("XLA_FLAGS", ""))
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
