@@ -1,41 +1,115 @@
 """Benchmark: v3_ctc encode+decode throughput on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Headline metric = audio-seconds processed per wall-second per chip (RTF)
 for the flagship v3_ctc pipeline (log-mel -> 16x Conformer(768) -> CTC head
--> greedy mask), batch 8 x 20 s, bf16, steady state.
+-> greedy mask) at the serving batch (32 x 20 s), bf16, steady state.
+The JSON also carries MFU and a per-batch-size detail block.
 
 Baseline anchor: the reference's best CUDA serving number — 65 s of audio in
 0.036 s (v3_ctc, torch bs=4, ``triton_scripts/README.md:71-83``;
 BASELINE.md "Implied RTF anchor") ~= 1806x realtime.  vs_baseline = ours /
 1806.
+
+Reliability: the remote-TPU backend ('axon' tunnel) can be transiently
+unavailable — and worse, backend init can HANG indefinitely (observed: a
+bare ``jax.devices()`` blocking > 9 min).  JAX caches a failed backend init
+per process, so the retry unit must be a *process*: the outer ``main()``
+re-execs this file as a subprocess with a hard deadline, retries with
+backoff, and on final failure still prints the one-line JSON with an
+``"error"`` field (exit 0 so the driver records the diagnostics).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/gigaam_tpu/jax_cache"))
-
-import numpy as np
-
 BASELINE_RTF = 65.0 / 0.036  # ~1806x, reference CUDA serving anchor
+METRIC = "v3_ctc_encode_decode_rtf"
+UNIT = "audio-seconds/s/chip"
+
+# TPU v5e peak bf16 throughput (per chip).  MFU is reported against this;
+# adjust via env if the driver runs on a different generation.
+PEAK_TFLOPS = float(os.environ.get("GIGAAM_PEAK_TFLOPS", "197"))
 
 
-def main() -> None:
+# ---------------------------------------------------------------------------
+# Analytic FLOPs model (one forward of the v3_ctc pipeline)
+# ---------------------------------------------------------------------------
+
+def _subsampled(t: int, stages: int = 2, k: int = 3) -> int:
+    import math
+    pad = (k - 1) // 2
+    for _ in range(stages):
+        t = math.floor((t + 2 * pad - k) / 2 + 1.0)
+    return t
+
+
+def pipeline_flops(batch: int, wav_len: int, *, d: int = 768, layers: int = 16,
+                   heads: int = 16, d_ff: int = 3072, conv_k: int = 31,
+                   vocab: int = 34, n_mels: int = 64, n_fft: int = 400,
+                   hop: int = 160, center: bool = False,
+                   rel_pos: bool = False) -> float:
+    """FLOPs of one v3_ctc forward (multiply-add = 2 FLOPs).
+
+    Mirrors the architecture of ``gigaam_tpu/models/encoder.py`` (reference
+    ``gigaam/encoder.py:510-525``): matmul-DFT frontend, 2-stage conv2d
+    subsampling (channels = d_model), macaron Conformer layers, CTC head.
+    """
+    import math
+    b = batch
+    if center:
+        t_feat = math.floor(wav_len / hop) + 1
+    else:
+        t_feat = math.floor((wav_len - n_fft) / hop) + 1
+
+    # frontend: one fp32 matmul [B*T_feat, 3*hop] x [3*hop, 2*(n_fft//2+1)]
+    # + mel projection [.., n_freq] x [n_freq, n_mels]
+    n_freq = n_fft // 2 + 1
+    fl = 2.0 * b * t_feat * (3 * hop) * (2 * n_freq)
+    fl += 2.0 * b * t_feat * n_freq * n_mels
+
+    # conv2d subsampling: stage convs stride (2,2), channels 1->d->d,
+    # then Linear (d * n_mels/4 -> d)
+    t1, f1 = _subsampled(t_feat, 1), _subsampled(n_mels, 1)
+    t2, f2 = _subsampled(t_feat, 2), _subsampled(n_mels, 2)
+    fl += 2.0 * b * t1 * f1 * 9 * 1 * d
+    fl += 2.0 * b * t2 * f2 * 9 * d * d
+    fl += 2.0 * b * t2 * (d * f2) * d
+
+    t = t2
+    # per Conformer layer
+    per = 0.0
+    per += 2 * (2.0 * b * t * d * d_ff * 2)          # two macaron FFNs
+    per += 4 * (2.0 * b * t * d * d)                 # QKV + out projections
+    per += 2 * (2.0 * b * t * t * d)                 # scores + AV
+    if rel_pos:
+        per += 2.0 * b * t * (2 * t - 1) * d         # positional matmul
+    per += 2.0 * b * t * d * (2 * d)                 # conv pointwise 1 (GLU)
+    per += 2.0 * b * t * d * conv_k                  # depthwise
+    per += 2.0 * b * t * d * d                       # conv pointwise 2
+    fl += layers * per
+
+    fl += 2.0 * b * t * d * vocab                    # CTC head
+    return fl
+
+
+# ---------------------------------------------------------------------------
+# Inner bench (runs in a subprocess with the real backend)
+# ---------------------------------------------------------------------------
+
+def _measure(model, batch_size: int, seconds: int):
+    """Median per-forward wall time for one batch size, device-side K-loop."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from gigaam_tpu import load_model
     from gigaam_tpu.models.model import pad_wav_batch
-
-    batch_size = 8
-    seconds = 20
-    model = load_model("v3_ctc", init="random")
 
     rng = np.random.default_rng(0)
     wavs = [
@@ -85,15 +159,104 @@ def main() -> None:
             times.append((time.perf_counter() - t0) / K)
         window_medians.append(float(np.median(times)))
         time.sleep(0.5)
-    dt = min(window_medians)
+    return min(window_medians)
 
-    audio_seconds = batch_size * seconds
-    rtf = audio_seconds / dt
+
+def inner_main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    # pre-flight: force backend init + a trivial compile before touching the
+    # 220M-param model, so transient backend failures surface fast
+    x = jnp.ones((256, 256), dtype=jnp.bfloat16)
+    jax.block_until_ready(jax.jit(lambda a: a @ a)(x))
+    print(f"preflight ok: {jax.default_backend()}", file=sys.stderr, flush=True)
+
+    from gigaam_tpu import load_model
+
+    model = load_model("v3_ctc", init="random")
+    seconds = 20
+    detail = {}
+    best_rtf, best_mfu = 0.0, 0.0
+    for bs in (8, 32):
+        dt = _measure(model, bs, seconds)
+        rtf = bs * seconds / dt
+        mfu = pipeline_flops(bs, 16000 * seconds) / dt / (PEAK_TFLOPS * 1e12)
+        detail[f"bs{bs}"] = {"rtf": round(rtf, 1), "mfu": round(mfu, 4),
+                             "ms_per_fwd": round(dt * 1e3, 2)}
+        if rtf > best_rtf:
+            best_rtf, best_mfu = rtf, mfu
+
     print(json.dumps({
-        "metric": "v3_ctc_encode_decode_rtf",
-        "value": round(rtf, 1),
-        "unit": "audio-seconds/s/chip",
-        "vs_baseline": round(rtf / BASELINE_RTF, 3),
+        "metric": METRIC,
+        "value": round(best_rtf, 1),
+        "unit": UNIT,
+        "vs_baseline": round(best_rtf / BASELINE_RTF, 3),
+        "mfu": round(best_mfu, 4),
+        "peak_tflops_assumed": PEAK_TFLOPS,
+        "detail": detail,
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Outer wrapper: subprocess isolation + retry/backoff
+# ---------------------------------------------------------------------------
+
+ATTEMPTS = int(os.environ.get("GIGAAM_BENCH_ATTEMPTS", "4"))
+ATTEMPT_TIMEOUT = float(os.environ.get("GIGAAM_BENCH_TIMEOUT", "720"))
+BACKOFF_SEC = float(os.environ.get("GIGAAM_BENCH_BACKOFF", "60"))
+
+
+def main() -> None:
+    if os.environ.get("_GIGAAM_BENCH_INNER") == "1":
+        inner_main()
+        return
+
+    env = dict(os.environ)
+    env["_GIGAAM_BENCH_INNER"] = "1"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/gigaam_tpu/jax_cache"))
+
+    last_err = ""
+    for attempt in range(ATTEMPTS):
+        if attempt:
+            time.sleep(BACKOFF_SEC)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=ATTEMPT_TIMEOUT,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or None,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = (f"attempt {attempt + 1}: timed out after "
+                        f"{ATTEMPT_TIMEOUT:.0f}s (backend init can hang)")
+            print(last_err, file=sys.stderr, flush=True)
+            continue
+        for line in (proc.stdout or "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                if obj.get("metric") == METRIC:
+                    if attempt:
+                        obj["attempts"] = attempt + 1
+                    print(json.dumps(obj))
+                    return
+        tail = (proc.stderr or "").strip().splitlines()[-6:]
+        last_err = f"attempt {attempt + 1}: rc={proc.returncode}: " + \
+            " | ".join(t.strip()[:160] for t in tail)
+        print(last_err, file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": UNIT,
+        "vs_baseline": 0.0,
+        "error": last_err[:500] or "all attempts failed with no diagnostics",
+        "attempts": ATTEMPTS,
     }))
 
 

@@ -39,6 +39,7 @@ import numpy as np
 
 from .config import LONGFORM_THRESHOLD_SEC, SAMPLE_RATE
 from .models.model import GigaAMASR
+from .types import TranscriptionResult
 
 class ASRHTTPServer(ThreadingHTTPServer):
     """ThreadingHTTPServer with a listen backlog sized for request bursts
@@ -48,10 +49,6 @@ class ASRHTTPServer(ThreadingHTTPServer):
     request_queue_size = 128
 
 
-def _words_json(words) -> list:
-    """Word list -> JSON shape shared by the shortform and longform paths."""
-    return [{"text": w.text, "start": round(w.start, 3),
-             "end": round(w.end, 3)} for w in (words or [])]
 
 
 class _Request:
@@ -193,9 +190,9 @@ class BatchingASRServer:
         try:
             outs = finalize()
             for r, (text, words) in zip(batch, outs):
-                r.result = {"text": text}
-                if r.timestamps and words is not None:
-                    r.result["words"] = _words_json(words)
+                include = r.timestamps and words is not None
+                r.result = TranscriptionResult(
+                    text=text, words=words if include else None).to_dict()
                 r.event.set()
         except Exception as exc:
             self._fail(batch, exc)
@@ -280,12 +277,7 @@ def make_handler(server: BatchingASRServer):
                     return
                 finally:
                     server.longform_slots.release()
-                segments = [
-                    dict(start=round(s.start, 3), end=round(s.end, 3),
-                         text=s.text,
-                         **({"words": _words_json(s.words)} if ts else {}))
-                    for s in res.segments]
-                self._send(200, {"text": res.text, "segments": segments})
+                self._send(200, res.to_dict(timestamps=ts))
                 return
 
             if wav.size > LONGFORM_THRESHOLD_SEC * SAMPLE_RATE:
