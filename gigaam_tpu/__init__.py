@@ -223,9 +223,34 @@ def load_model(
                 # a cached converted base still supplies the exact cfg).
                 # Reference flow: ``gigaam/__init__.py:139-156``.
                 base_name = ckpt["hyper_parameters"]["model_name"]
+                resolved_base = (f"v3_{base_name}"
+                                 if base_name in _SHORT_NAMES else base_name)
+                if resolved_base == "v1_rnnt" or "e2e" in resolved_base:
+                    # SP-tokenizer base: fetch the real tokenizer so the
+                    # init="random" recursion below picks it up instead of
+                    # synthesizing placeholder '<i>' pieces (which would make
+                    # transcribe() silently emit garbage; reference loads the
+                    # full base incl. tokenizer, gigaam/__init__.py:139-156)
+                    try:
+                        _download_tokenizer(resolved_base, root)
+                    except Exception:
+                        pass  # offline: the cached-tokenizer check below
+                        # may still hit; otherwise the shape-mismatch
+                        # fallback loads the full base (which fails loudly
+                        # offline rather than decoding garbage)
                 base = load_model(base_name, device=device,
                                   download_root=download_root,
                                   init="random", seed=seed, **kw)
+                if (base.cfg.decoding is not None
+                        and base.cfg.decoding.model_path is None
+                        and (resolved_base == "v1_rnnt"
+                             or "e2e" in resolved_base)):
+                    raise FileNotFoundError(
+                        f"Fine-tuned checkpoint '{local}' is based on "
+                        f"'{resolved_base}', which needs a sentencepiece "
+                        f"tokenizer, and none is cached under {root} nor "
+                        f"downloadable. Place "
+                        f"{resolved_base}_tokenizer.model there first.")
                 try:
                     base.params = apply_finetuned_state_dict(
                         base.cfg, local, ckpt=ckpt)
@@ -255,19 +280,40 @@ def load_model(
         cfg = make_preset(model_name)
         if (cfg.decoding is not None and not cfg.decoding.vocabulary
                 and cfg.decoding.model_path is None):
-            # sentencepiece models (v1_rnnt, e2e variants) resolve their
-            # vocabulary from the downloaded tokenizer; a weight-free run
-            # has none, so synthesize placeholder pieces sized to the head
             import dataclasses
 
             from .config import CTCHeadConfig as _Ctc
 
-            n = (cfg.head.num_classes if isinstance(cfg.head, _Ctc)
-                 else cfg.head.joint.num_classes) - 1
-            cfg = dataclasses.replace(
-                cfg, decoding=dataclasses.replace(
-                    cfg.decoding,
-                    vocabulary=[f"<{i}>" for i in range(n)]))
+            tok_file = os.path.join(root, f"{resolved}_tokenizer.model")
+            if os.path.isfile(tok_file):
+                # a real sentencepiece tokenizer is cached: use it, sizing
+                # the head to the actual piece count (the preset guesses 512)
+                from .decode.tokenizer import Tokenizer as _Tok
+
+                n = len(_Tok([], tok_file))
+                if isinstance(cfg.head, _Ctc):
+                    head = dataclasses.replace(cfg.head, num_classes=n + 1)
+                else:
+                    head = dataclasses.replace(
+                        cfg.head,
+                        decoder=dataclasses.replace(
+                            cfg.head.decoder, num_classes=n + 1),
+                        joint=dataclasses.replace(
+                            cfg.head.joint, num_classes=n + 1))
+                cfg = dataclasses.replace(
+                    cfg, head=head,
+                    decoding=dataclasses.replace(
+                        cfg.decoding, model_path=tok_file))
+            else:
+                # sentencepiece models (v1_rnnt, e2e variants) resolve their
+                # vocabulary from the downloaded tokenizer; a weight-free run
+                # has none, so synthesize placeholder pieces sized to the head
+                n = (cfg.head.num_classes if isinstance(cfg.head, _Ctc)
+                     else cfg.head.joint.num_classes) - 1
+                cfg = dataclasses.replace(
+                    cfg, decoding=dataclasses.replace(
+                        cfg.decoding,
+                        vocabulary=[f"<{i}>" for i in range(n)]))
         return _finalize(model_class_for(cfg)(cfg, seed=seed, **kw))
 
     cached = os.path.join(root, f"{resolved}.npz")

@@ -61,24 +61,31 @@ class PosTables:
 
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
-        self._len = 0
-        self._rot: Optional[Tuple[np.ndarray, np.ndarray]] = None
-        self._rel: Optional[np.ndarray] = None
+        # (length, rotary_tables | None, relpos_table | None): swapped as ONE
+        # tuple so concurrent readers never see a length/table mismatch
+        self._state: Tuple[int, Optional[Tuple[np.ndarray, np.ndarray]],
+                           Optional[np.ndarray]] = (0, None, None)
         # device-array cache per t: lengths are bucketed, so a handful of
         # entries ends the per-call host->device re-upload of MB-sized
         # tables on the serving hot path
         self._dev: dict = {}
 
+    @property
+    def _len(self) -> int:
+        return self._state[0]
+
     def ensure(self, length: int) -> None:
         length = max(length, self.cfg.pos_emb_max_len)
-        if length <= self._len:
+        if length <= self._state[0]:
             return
         if self.cfg.self_attention_model == "rotary":
-            self._rot = rotary_tables(length, self.cfg.d_head,
-                                      self.cfg.pos_emb_max_len)
+            self._state = (length,
+                           rotary_tables(length, self.cfg.d_head,
+                                         self.cfg.pos_emb_max_len),
+                           None)
         else:
-            self._rel = relpos_table(length, self.cfg.d_model)
-        self._len = length
+            self._state = (length, None, relpos_table(length,
+                                                      self.cfg.d_model))
         self._dev.clear()
 
     @staticmethod
@@ -88,25 +95,33 @@ class PosTables:
         return not any(isinstance(v, jax.core.Tracer)
                        for v in jax.tree.leaves(val))
 
+    # NOTE: serving threads share these caches without a lock; ``ensure``
+    # can clear ``_dev`` concurrently with another thread's lookup, so the
+    # getters return the locally-built value instead of re-reading the dict
+    # (a stale entry is harmless; a re-read after a clear would KeyError).
+
     def rotary(self, t: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         self.ensure(t)
-        if t not in self._dev:
-            cos, sin = self._rot
-            val = (jnp.asarray(cos[:t]), jnp.asarray(sin[:t]))
-            if not self._cacheable(val):
-                return val
+        cached = self._dev.get(t)
+        if cached is not None:
+            return cached
+        _, rot, _ = self._state          # one snapshot: len+table consistent
+        cos, sin = rot
+        val = (jnp.asarray(cos[:t]), jnp.asarray(sin[:t]))
+        if self._cacheable(val):
             self._dev[t] = val
-        return self._dev[t]
+        return val
 
     def relpos(self, t: int) -> jnp.ndarray:
         self.ensure(t)
-        if t not in self._dev:
-            center = self._len
-            val = jnp.asarray(self._rel[center - t: center + t - 1])
-            if not self._cacheable(val):
-                return val
+        cached = self._dev.get(t)
+        if cached is not None:
+            return cached
+        center, _, rel = self._state     # one snapshot: len+table consistent
+        val = jnp.asarray(rel[center - t: center + t - 1])
+        if self._cacheable(val):
             self._dev[t] = val
-        return self._dev[t]
+        return val
 
 
 # ---------------------------------------------------------------------------

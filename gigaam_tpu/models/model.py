@@ -518,6 +518,11 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 def save_model(model: GigaAM, path: str) -> None:
     """Save params (npz) + config (json) as a native artifact pair.
 
+    Self-contained: a sentencepiece tokenizer is copied next to the npz and
+    stored as a *relative* path, so the artifact survives moving to another
+    host/dir or cleaning the download cache (``load_native`` resolves it;
+    same convention as ``export_model``).
+
     Multi-host safe: a collective gather brings sharded params to every
     host, then only process 0 writes (call from all processes).
     """
@@ -529,11 +534,27 @@ def save_model(model: GigaAM, path: str) -> None:
     if jax.process_index() != 0:
         return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path if path.endswith(".npz") else path + ".npz",
-             **_flatten(params))
-    cfg_path = (path[:-4] if path.endswith(".npz") else path) + ".json"
-    with open(cfg_path, "w") as f:
-        f.write(model.cfg.to_json())
+    base = path[:-4] if path.endswith(".npz") else path
+    np.savez(base + ".npz", **_flatten(params))
+
+    cfg = model.cfg
+    dec = getattr(cfg, "decoding", None)
+    if dec is not None and dec.model_path:
+        import dataclasses
+        import shutil
+
+        tok_name = os.path.basename(base) + "_tokenizer.model"
+        tok_dst = os.path.join(os.path.dirname(base) or ".", tok_name)
+        src = dec.model_path
+        if not os.path.isabs(src):
+            # model was itself loaded from an artifact: resolve before copy
+            src = os.path.join(os.path.dirname(base) or ".", src)
+        if os.path.abspath(src) != os.path.abspath(tok_dst):
+            shutil.copyfile(src, tok_dst)
+        cfg = dataclasses.replace(
+            cfg, decoding=dataclasses.replace(dec, model_path=tok_name))
+    with open(base + ".json", "w") as f:
+        f.write(cfg.to_json())
 
 
 def load_params_npz(path: str) -> Dict[str, Any]:
@@ -550,5 +571,14 @@ def load_native(path: str, **kw) -> GigaAM:
     base = path[:-4] if path.endswith(".npz") else path
     with open(base + ".json") as f:
         cfg = ModelConfig.from_dict(json.load(f))
+    dec = getattr(cfg, "decoding", None)
+    if (dec is not None and dec.model_path
+            and not os.path.isabs(dec.model_path)):
+        # bundled tokenizer: stored relative to the artifact dir
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, decoding=dataclasses.replace(
+            dec, model_path=os.path.join(os.path.dirname(base) or ".",
+                                         dec.model_path)))
     params = load_params_npz(base + ".npz")
     return model_class_for(cfg)(cfg, params=params, **kw)

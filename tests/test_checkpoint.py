@@ -267,3 +267,101 @@ def test_load_model_device_placement(tmp_path, monkeypatch):
                                   device="cpu:0", compute_dtype=jnp.float32)
     leaf = jax.tree.leaves(model.params)[0]
     assert jax.devices("cpu")[0] in leaf.devices()
+
+
+def _sp_pieces():
+    return ([("<unk>", 0.0, 2)]
+            + [(c, -1.0, 1) for c in "абвгд"]
+            + [("▁пр", -0.5, 1)])
+
+
+def _sp_cfg_and_sd(v):
+    """Synthetic e2e (SP-tokenizer) reference ckpt: empty vocabulary."""
+    cfg = _ref_cfg_dict("ctc", v=v)
+    cfg["decoding"]["vocabulary"] = []
+    return cfg, _ref_state_dict("ctc", v=v)
+
+
+def test_load_model_finetuned_sp_base_uses_real_tokenizer(tmp_path, monkeypatch):
+    """Fine-tuned ckpts whose base needs a sentencepiece tokenizer must
+    resolve the *real* tokenizer (cached or downloaded) — never the
+    placeholder '<i>' vocabulary that init="random" synthesizes, which
+    would make transcribe() silently emit garbage (ADVICE r1, medium;
+    reference loads the full base incl. tokenizer,
+    ``gigaam/__init__.py:139-156``)."""
+    import gigaam_tpu
+    from test_export_serve import _write_tiny_sp_model
+
+    pieces = _sp_pieces()
+    v = len(pieces) + 1  # + blank
+    root = tmp_path / "cache"
+    root.mkdir()
+    _write_tiny_sp_model(str(root / "v3_e2e_ctc_tokenizer.model"), pieces)
+
+    cdn = tmp_path / "cdn"
+    cdn.mkdir()
+    cfg, sd = _sp_cfg_and_sd(v)
+    base_ckpt = str(cdn / "v3_e2e_ctc.ckpt")
+    torch.save({"cfg": cfg, "state_dict": sd}, base_ckpt)
+    # tokenizer also on the "CDN" for the full-base fallback path
+    import shutil
+    shutil.copy(str(root / "v3_e2e_ctc_tokenizer.model"),
+                str(cdn / "v3_e2e_ctc_tokenizer.model"))
+    monkeypatch.setattr(gigaam_tpu, "_URL_DIR", f"file://{cdn}")
+    monkeypatch.setattr(
+        gigaam_tpu, "_MODEL_HASHES",
+        {**gigaam_tpu._MODEL_HASHES,
+         "v3_e2e_ctc": gigaam_tpu.hash_path(base_ckpt)})
+
+    ft_sd = dict(sd)
+    ft_sd["head.decoder_layers.0.bias"] = sd["head.decoder_layers.0.bias"] + 2.0
+    ft_path = str(tmp_path / "ft_e2e.ckpt")
+    torch.save({"hyper_parameters": {"model_name": "e2e_ctc"},
+                "state_dict": ft_sd}, ft_path)
+
+    model = gigaam_tpu.load_model(ft_path, download_root=str(root),
+                                  compute_dtype=jnp.float32)
+    # real SP pieces, not placeholders
+    assert not model.tokenizer.charwise
+    assert model.tokenizer.decode([1, 2]) == "аб"
+    assert model.blank_id == len(pieces)
+    np.testing.assert_allclose(
+        np.asarray(model.params["head"]["proj"]["b"])
+        - np.asarray(sd["head.decoder_layers.0.bias"].numpy()),
+        2.0, atol=1e-6)
+
+
+def test_load_model_finetuned_sp_base_offline_fails_loudly(tmp_path, monkeypatch):
+    """With no tokenizer cached and no network, an SP-base fine-tuned load
+    must raise (not silently decode placeholder pieces)."""
+    import gigaam_tpu
+
+    monkeypatch.setattr(gigaam_tpu, "_URL_DIR",
+                        f"file://{tmp_path}/no_such_cdn")
+    cfg, sd = _sp_cfg_and_sd(8)
+    ft_path = str(tmp_path / "ft_e2e.ckpt")
+    torch.save({"hyper_parameters": {"model_name": "v3_e2e_ctc"},
+                "state_dict": sd}, ft_path)
+    with pytest.raises(FileNotFoundError, match="tokenizer"):
+        gigaam_tpu.load_model(ft_path,
+                              download_root=str(tmp_path / "empty_cache"),
+                              compute_dtype=jnp.float32)
+
+
+def test_load_model_random_init_picks_up_cached_sp_tokenizer(tmp_path):
+    """init="random" on an SP preset uses a cached real tokenizer when one
+    exists under download_root, sizing the head to the piece count."""
+    import gigaam_tpu
+    from test_export_serve import _write_tiny_sp_model
+
+    pieces = _sp_pieces()
+    root = tmp_path / "cache"
+    root.mkdir()
+    _write_tiny_sp_model(str(root / "v3_e2e_rnnt_tokenizer.model"), pieces)
+
+    model = gigaam_tpu.load_model("v3_e2e_rnnt", init="random",
+                                  download_root=str(root),
+                                  compute_dtype=jnp.float32)
+    assert not model.tokenizer.charwise
+    assert len(model.tokenizer) == len(pieces)
+    assert model.cfg.head.joint.num_classes == len(pieces) + 1

@@ -202,3 +202,47 @@ def test_load_model_random_init_sp_models():
                .standard_normal(16000)).astype(np.float32)
         text, _ = model._decode_batch([wav], word_timestamps=False)[0]
         assert isinstance(text, str)
+
+
+def test_save_model_artifact_is_relocatable(tmp_path):
+    """save_model must bundle the SP tokenizer and store a relative path,
+    so the npz+json pair survives moving to another dir/host even after
+    the original download cache is deleted (ADVICE r1)."""
+    import shutil
+
+    from gigaam_tpu.config import (CTCHeadConfig, DecodingConfig,
+                                   FeaturesConfig, ModelConfig)
+    from gigaam_tpu.models.model import load_native
+    from test_export_serve import _write_tiny_sp_model
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    sp_path = str(cache / "orig_tok.model")
+    pieces = ([("<unk>", 0.0, 2)] + [(c, -1.0, 1) for c in "абвгд"])
+    _write_tiny_sp_model(sp_path, pieces)
+
+    v = len(pieces)
+    cfg = ModelConfig(
+        model_name="tiny_sp", model_class="asr",
+        preprocessor=FeaturesConfig(), encoder=tiny_encoder(),
+        head=CTCHeadConfig(feat_in=64, num_classes=v + 1),
+        decoding=DecodingConfig(kind="ctc_greedy", vocabulary=[],
+                                model_path=sp_path))
+    model = GigaAMASR(cfg, seed=0, compute_dtype=jnp.float32)
+    art_dir = tmp_path / "artifacts"
+    save_model(model, str(art_dir / "tiny_sp"))
+    # the original cache (and its tokenizer) disappears
+    shutil.rmtree(str(cache))
+    # the artifact moves to a different directory
+    moved = tmp_path / "moved"
+    shutil.copytree(str(art_dir), str(moved))
+    shutil.rmtree(str(art_dir))
+
+    back = load_native(str(moved / "tiny_sp"))
+    assert not back.tokenizer.charwise
+    assert back.tokenizer.decode([1, 2]) == "аб"
+    # saving a model that was itself loaded from an artifact round-trips
+    again = tmp_path / "again"
+    save_model(back, str(again / "tiny_sp"))
+    assert (again / "tiny_sp_tokenizer.model").is_file()
+    assert load_native(str(again / "tiny_sp")).tokenizer.decode([1]) == "а"
