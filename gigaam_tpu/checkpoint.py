@@ -83,9 +83,18 @@ def _install_stub_modules() -> List[str]:
 
 
 def _unwrap(node: Any) -> Any:
-    """Recursively unwrap stubbed OmegaConf containers to plain dict/list."""
+    """Recursively unwrap stubbed OmegaConf containers to plain dict/list.
+
+    Handles real omegaconf pickle layouts (proven against the committed
+    ``tests/data/ref_cfg_omegaconf.ckpt`` fixture): ValueNode subclasses
+    carry the payload in ``_val`` (checked FIRST — value nodes never have
+    ``_content``), containers in ``_content``; ``_parent`` back-references
+    are never followed, so the pickle-memo cycles are harmless.
+    """
     if isinstance(node, _StubObject):
         d = node.__dict__
+        if "_val" in d:  # ValueNode (Any/String/Integer/Float/Boolean/...)
+            return _unwrap(d["_val"])
         content = d.get("_content", d.get("_state"))
         if content is None and "_args" in d and d["_args"]:
             content = d["_args"][0]
@@ -100,6 +109,88 @@ def _unwrap(node: Any) -> Any:
     if hasattr(node, "_val"):  # ValueNode
         return _unwrap(node._val)
     return node
+
+
+_INTERP_RE = None  # compiled lazily
+
+
+def _resolve_interpolations(tree: Any) -> Any:
+    """Resolve OmegaConf ``${dotted.path}`` interpolations in an unwrapped
+    cfg tree.
+
+    Pickled configs carry interpolations *unresolved* (OmegaConf resolves
+    lazily at access time; ``hydra.utils.instantiate`` does it for the
+    reference at load, ``gigaam/model.py:24-25``).  Supports absolute
+    dotted paths and whole-value or in-string substitution; unknown paths
+    are left verbatim.  Nested references resolve via fixpoint iteration.
+    """
+    global _INTERP_RE
+    import re
+
+    if _INTERP_RE is None:
+        _INTERP_RE = re.compile(r"\$\{([A-Za-z0-9_.]+)\}")
+
+    def lookup(path: str):
+        cur = tree
+        for part in path.split("."):
+            if isinstance(cur, dict) and part in cur:
+                cur = cur[part]
+            elif isinstance(cur, list) and part.isdigit() \
+                    and int(part) < len(cur):
+                cur = cur[int(part)]
+            else:
+                return None, False
+        return cur, True
+
+    def subst(val):
+        if not isinstance(val, str):
+            return val, False
+        m = _INTERP_RE.fullmatch(val)
+        if m:  # whole-value: preserve the referenced type
+            target, ok = lookup(m.group(1))
+            return (target, True) if ok else (val, False)
+
+        changed = False
+
+        def repl(mm):
+            nonlocal changed
+            target, ok = lookup(mm.group(1))
+            if ok and not isinstance(target, (dict, list)):
+                changed = True
+                return str(target)
+            return mm.group(0)
+
+        out = _INTERP_RE.sub(repl, val)
+        return out, changed
+
+    for _ in range(8):  # bounded fixpoint for chained references
+        changed = False
+
+        def walk(node):
+            nonlocal changed
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    if isinstance(v, (dict, list)):
+                        walk(v)
+                    else:
+                        nv, ch = subst(v)
+                        if ch:
+                            node[k] = nv
+                            changed = True
+            elif isinstance(node, list):
+                for i, v in enumerate(node):
+                    if isinstance(v, (dict, list)):
+                        walk(v)
+                    else:
+                        nv, ch = subst(v)
+                        if ch:
+                            node[i] = nv
+                            changed = True
+
+        walk(tree)
+        if not changed:
+            break
+    return tree
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
@@ -396,6 +487,7 @@ def convert_reference_checkpoint(
     cfg_tree = _unwrap(ckpt["cfg"])
     if not isinstance(cfg_tree, dict):
         raise ValueError(f"Could not unwrap checkpoint cfg from {path}")
+    cfg_tree = _resolve_interpolations(cfg_tree)
     name = model_name or str(cfg_tree.get("model_name", "converted"))
     cfg = config_from_reference(cfg_tree, name)
     sd = state_dict_to_numpy(ckpt["state_dict"])

@@ -219,7 +219,12 @@ class GigaAM:
         encoded, enc_lens = self._encode_jit(self.params, b, l, pos)
         return encoded[:n], enc_lens[:n]
 
-    def prepare_wav(self, wav_file: str) -> np.ndarray:
+    def prepare_wav(self, wav_file: Union[str, np.ndarray]) -> np.ndarray:
+        """Path -> 16 kHz float waveform; in-memory arrays pass through
+        (superset of reference ``model.py:47-55``, matching our
+        ``transcribe_longform``, which already accepts arrays)."""
+        if isinstance(wav_file, np.ndarray):
+            return np.asarray(wav_file, dtype=np.float32)
         return load_audio(wav_file)
 
     def embed_audio(self, wav_file: str) -> Tuple[jnp.ndarray, jnp.ndarray]:

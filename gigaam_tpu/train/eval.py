@@ -72,6 +72,11 @@ def main(argv: Optional[List[str]] = None) -> None:
                 ensure_ascii=False) + "\n")
 
     wer_e2e, wer_raw = compute_wer(hyps, refs)
+    # machine-readable summary next to the preds (consumed by
+    # tools/run_parity.py's WER table)
+    with open(args.out + ".summary.json", "w") as f:
+        json.dump({"samples": len(hyps), "wer_e2e": wer_e2e,
+                   "wer_raw": wer_raw}, f)
     print(f"samples: {len(hyps)}")
     print(f"WER (e2e):  {100 * wer_e2e:.2f}%")
     print(f"WER (raw):  {100 * wer_raw:.2f}%")

@@ -10,11 +10,18 @@ pluggable, with a dependency-free energy VAD as the default:
 * adaptive threshold between the noise floor and the speech level,
 * hangover smoothing to bridge short intra-speech gaps.
 
-A neural JAX VAD can be slotted in by passing ``speech_regions_fn``.
+A neural JAX VAD can be slotted in by passing ``speech_regions_fn``, or —
+matching the reference pipeline, where longform always runs the pyannote
+segmentation net — by converting the pyannote checkpoint once
+(``tools/convert_vad.py``) and dropping the artifact where
+``_discover_neural_vad`` finds it (``$GIGAAM_VAD_ARTIFACT`` or
+``~/.cache/gigaam_tpu/vad_segmentation.npz``); it then becomes the default
+detector automatically.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List, Optional, Tuple, Union
 
 import numpy as np
@@ -23,6 +30,37 @@ from .audio import load_audio
 from .config import SAMPLE_RATE
 
 Region = Tuple[float, float]
+
+# loaded-artifact cache, keyed by path (the reference similarly caches the
+# pyannote pipeline in a module global, ``gigaam/vad_utils.py:37,60-66``)
+_NEURAL_VAD: Optional[Tuple[str, Callable]] = None
+
+
+def _discover_neural_vad() -> Optional[Callable[[np.ndarray], List[Region]]]:
+    """Return the converted neural-VAD detector if an artifact is available.
+
+    Resolution order: ``GIGAAM_VAD_ARTIFACT`` env var (set to ``energy`` /
+    ``off`` / ``0`` to force the energy VAD), then
+    ``<cache>/vad_segmentation.npz`` — the default output of
+    ``tools/convert_vad.py``.  Returns None when nothing is found.
+    """
+    global _NEURAL_VAD
+    path = os.environ.get("GIGAAM_VAD_ARTIFACT")
+    if path and path.lower() in ("0", "off", "energy", "none"):
+        return None
+    if not path:
+        from . import _CACHE_DIR
+
+        path = os.path.join(_CACHE_DIR, "vad_segmentation.npz")
+    if not os.path.isfile(path) and not os.path.isfile(path + ".npz"):
+        return None
+    if _NEURAL_VAD is not None and _NEURAL_VAD[0] == path:
+        return _NEURAL_VAD[1]
+    from .models.vad_net import load_vad_regions_fn
+
+    fn = load_vad_regions_fn(path)
+    _NEURAL_VAD = (path, fn)
+    return fn
 
 
 def energy_speech_regions(
@@ -37,8 +75,16 @@ def energy_speech_regions(
     """Energy-based VAD: returns merged (start, end) speech regions in sec."""
     frame = int(sr * frame_ms / 1000)
     hop = int(sr * hop_ms / 1000)
+    # absolute silence gate: an adaptive threshold on digital silence would
+    # otherwise degenerate to "everything is speech" (-55 dBFS is far below
+    # any real speech on normalized float audio)
+    SILENCE_DBFS = -55.0
     if len(wav) < frame:
-        return [(0.0, len(wav) / sr)] if len(wav) else []
+        if not len(wav):
+            return []
+        level = 20.0 * np.log10(
+            float(np.sqrt(np.mean(np.square(wav, dtype=np.float64)))) + 1e-12)
+        return [] if level < SILENCE_DBFS else [(0.0, len(wav) / sr)]
 
     n = (len(wav) - frame) // hop + 1
     # frame energies via a cumulative sum over wav^2 — O(N), no [n, frame]
@@ -51,6 +97,8 @@ def energy_speech_regions(
 
     floor = np.percentile(db, 10)
     ceil = np.percentile(db, 95)
+    if ceil < SILENCE_DBFS:  # noise floor only: no speech anywhere
+        return []
     if ceil - floor < 3.0:   # roughly stationary signal: treat all as speech
         return [(0.0, len(wav) / sr)]
     thresh = min(floor + threshold_db, ceil - 3.0)
@@ -141,7 +189,8 @@ def segment_audio_file(
     """
     audio = (wav_file if isinstance(wav_file, np.ndarray)
              else load_audio(wav_file, sr))
-    detector = speech_regions_fn or (lambda w: energy_speech_regions(w, sr))
+    detector = (speech_regions_fn or _discover_neural_vad()
+                or (lambda w: energy_speech_regions(w, sr)))
     regions = detector(audio)
     chunks = merge_regions_into_chunks(
         regions, len(audio) / sr,

@@ -21,6 +21,10 @@ _flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
 os.environ["XLA_FLAGS"] = (
     _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# tests assume the energy VAD unless they opt in explicitly — a converted
+# neural-VAD artifact in the developer's cache must not change test behavior
+os.environ.setdefault("GIGAAM_VAD_ARTIFACT", "energy")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

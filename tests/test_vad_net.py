@@ -222,3 +222,89 @@ def test_min_duration_post_processing():
         assert merged[0][0] == base[0][0] and merged[0][1] == base[-1][1]
     filt = speech_regions(params, TINY, wav, min_duration_on=10.0)
     assert filt == []
+
+
+def test_sinc_taps_match_published_sincnet_formula():
+    """Pin `_sinc_taps_fallback` against an independent reconstruction of
+    the published SincNet/ParamSincFB filter equations (Ravanelli & Bengio
+    2018; asteroid-filterbanks ParamSincFB — what pyannote's sincnet stage
+    materializes at runtime): ideal band-pass / Hilbert-pair impulse
+    responses, SincNet's half-Hamming window, 1/(2*band) normalization."""
+    sr, K = 16000, 251
+    rng = np.random.default_rng(3)
+    low_hz_ = rng.uniform(-300, 300, (5, 1))
+    band_hz_ = rng.uniform(-400, 400, (5, 1))
+
+    got = _sinc_taps_fallback(low_hz_, band_hz_, K, sr)
+
+    # independent reconstruction, full-kernel (not concat-of-halves)
+    min_low, min_band = 50.0, 50.0
+    f_lo = min_low + np.abs(low_hz_[:, 0])
+    f_hi = np.clip(f_lo + min_band + np.abs(band_hz_[:, 0]), min_low, sr / 2)
+    half = K // 2
+    n = np.arange(-half, half + 1)                     # sample offsets
+    t = n / sr                                         # seconds
+    # SincNet's window: Hamming over a linspace of period K (left half,
+    # mirrored) — published code detail, not an integer-indexed np.hamming
+    n_lin = np.linspace(0, K / 2 - 1, num=half)
+    w_half = 0.54 - 0.46 * np.cos(2 * np.pi * n_lin / K)
+    w = np.concatenate([w_half, [1.0], w_half[::-1]])
+
+    exp = np.zeros((2 * len(f_lo), K))
+    for i, (fl, fh) in enumerate(zip(f_lo, f_hi)):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos_f = (np.sin(2 * np.pi * fh * t)
+                     - np.sin(2 * np.pi * fl * t)) / (np.pi * t)
+            sin_f = (np.cos(2 * np.pi * fl * t)
+                     - np.cos(2 * np.pi * fh * t)) / (np.pi * t)
+        cos_f[half] = 2 * (fh - fl)                    # sinc limit at t=0
+        sin_f[half] = 0.0                              # odd symmetry
+        norm = 2 * (fh - fl)
+        exp[i] = cos_f * w / norm
+        exp[i + len(f_lo)] = sin_f * w / norm
+
+    np.testing.assert_allclose(got, exp, atol=1e-6, rtol=1e-5)
+
+
+def test_neural_vad_autodiscovery(tmp_path, monkeypatch):
+    """A converted VAD artifact at GIGAAM_VAD_ARTIFACT (or the cache
+    default) becomes the longform segmentation default automatically;
+    'energy' forces the energy VAD (reference parity: longform always runs
+    the pyannote net, gigaam/vad_utils.py:60-77)."""
+    from gigaam_tpu import vad
+    from gigaam_tpu.models.vad_net import save_vad
+
+    params = init_vad_params(jax.random.PRNGKey(0), TINY)
+    art = str(tmp_path / "vad_segmentation")
+    save_vad(art, TINY, params)
+
+    monkeypatch.setattr(vad, "_NEURAL_VAD", None)
+    monkeypatch.setenv("GIGAAM_VAD_ARTIFACT", art + ".npz")
+    fn = vad._discover_neural_vad()
+    assert fn is not None
+    # the discovered closure is the artifact's own regions fn
+    wav = (0.05 * np.random.default_rng(0)
+           .standard_normal(SR)).astype(np.float32)
+    direct_fn = make_speech_regions_fn(params, TINY)
+    assert fn(wav) == direct_fn(wav)
+    # second call returns the cached closure without reloading
+    assert vad._discover_neural_vad() is fn
+
+    # segment_audio_file picks it up as the default detector
+    segs, bounds = vad.segment_audio_file(wav)
+    assert [tuple(b) for b in bounds] == \
+        [tuple(b) for b in vad.merge_regions_into_chunks(direct_fn(wav), 1.0)]
+
+    # explicit opt-out
+    monkeypatch.setenv("GIGAAM_VAD_ARTIFACT", "energy")
+    assert vad._discover_neural_vad() is None
+
+    # no env, nothing in the cache dir -> None
+    monkeypatch.delenv("GIGAAM_VAD_ARTIFACT")
+    monkeypatch.setattr(vad, "_NEURAL_VAD", None)
+    import gigaam_tpu
+    monkeypatch.setattr(gigaam_tpu, "_CACHE_DIR", str(tmp_path / "empty"))
+    assert vad._discover_neural_vad() is None
+    # ... and IS found when the artifact sits at the cache default path
+    monkeypatch.setattr(gigaam_tpu, "_CACHE_DIR", str(tmp_path))
+    assert vad._discover_neural_vad() is not None

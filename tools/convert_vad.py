@@ -29,7 +29,13 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("ckpt", help="pyannote PyanNet checkpoint "
                                  "(pytorch_model.bin / Lightning ckpt)")
-    ap.add_argument("--out", required=True, help="output artifact base path")
+    ap.add_argument(
+        "--out",
+        default=os.path.expanduser("~/.cache/gigaam_tpu/vad_segmentation"),
+        help="output artifact base path (default: the location "
+             "transcribe_longform auto-discovers, making the neural VAD "
+             "the longform default — reference parity with "
+             "gigaam/vad_utils.py:60-77)")
     args = ap.parse_args()
 
     from gigaam_tpu.checkpoint import convert_pyannote_vad
