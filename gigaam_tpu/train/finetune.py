@@ -253,15 +253,21 @@ class FineTuner:
     # public API
     # ------------------------------------------------------------------
 
-    def train_step(self, batch, rng) -> Dict[str, float]:
+    def train_step(self, batch, rng) -> Dict[str, Any]:
+        """One optimizer step.  Returns ``loss``/``grad_norm`` as *device*
+        scalars — converting them here would force a blocking device->host
+        round trip (~25 ms on a tunneled TPU) on EVERY step regardless of
+        log cadence; callers ``float()`` them only when they actually log
+        (the reference's Lightning logging likewise avoids a per-step sync,
+        ``train_utils/module.py:198``)."""
         batch = tuple(jnp.asarray(x) for x in batch)
         self.params, self.opt_state, loss, grad_norm = self._train_step_jit(
             self.params, self.opt_state, batch, rng)
         self.step += 1
         opt_steps = self.step // max(1, self.tc.accumulate_grad_batches)
         return {
-            "loss": float(loss),
-            "grad_norm": float(grad_norm),
+            "loss": loss,
+            "grad_norm": grad_norm,
             "lr": float(self.schedule(opt_steps)),
         }
 
@@ -270,37 +276,83 @@ class FineTuner:
     # ``train_utils/train.py:62,157-163,204``)
     # ------------------------------------------------------------------
 
-    def save_checkpoint(self, path: str) -> None:
-        import pickle
+    _CKPT_FORMAT = "gigaam_tpu_train_ckpt_v1"
 
-        state = {
-            "params": _tree_to_host(self.params),
-            "opt_state": _tree_to_host(self.opt_state),
+    def save_checkpoint(self, path: str) -> None:
+        """Write one self-describing npz file: flattened params, positional
+        optimizer-state leaves, and a JSON metadata entry.
+
+        No pickle anywhere (the repo's npz+json artifact convention):
+        the optimizer tree *structure* is reconstructed from this
+        FineTuner's own TrainConfig at restore time and validated by leaf
+        count, so a silently-wrong optax version/config fails loudly
+        instead of unpickling into garbage.
+        """
+        import json
+        import os
+
+        params_host = _tree_to_host(self.params)
+        opt_host = _tree_to_host(self.opt_state)
+        if jax.process_index() != 0:
+            return  # every process joined the gather; only rank 0 writes
+        from ..models.model import _flatten
+
+        opt_leaves = jax.tree_util.tree_leaves(opt_host)
+        meta = {
+            "format": self._CKPT_FORMAT,
             "step": self.step,
             "model_config": self.cfg.to_dict(),
             "train_config": dataclasses.asdict(self.tc),
+            "n_opt_leaves": len(opt_leaves),
         }
-        if jax.process_index() != 0:
-            return  # every process joined the gather; only rank 0 writes
-        import os
-
+        arrays = {f"params/{k}": v for k, v in _flatten(params_host).items()}
+        arrays.update({f"opt/{i}": leaf for i, leaf in enumerate(opt_leaves)})
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "wb") as f:
-            pickle.dump(state, f)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:  # file handle: savez must not append .npz
+            np.savez(f, __meta__=np.asarray(json.dumps(meta)), **arrays)
+        os.replace(tmp, path)
 
     def restore_checkpoint(self, path: str) -> None:
-        import pickle
+        import json
+        import warnings
 
-        with open(path, "rb") as f:
-            state = pickle.load(f)
-        params = jax.tree.map(jnp.asarray, state["params"])
+        from ..models.model import _unflatten
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["__meta__"]))
+            if meta.get("format") != self._CKPT_FORMAT:
+                raise ValueError(
+                    f"{path}: unknown train-checkpoint format "
+                    f"{meta.get('format')!r} (expected {self._CKPT_FORMAT})")
+            params = _unflatten(
+                {k[len("params/"):]: z[k] for k in z.files
+                 if k.startswith("params/")})
+            opt_leaves = [z[f"opt/{i}"]
+                          for i in range(int(meta["n_opt_leaves"]))]
+
+        if meta["train_config"] != dataclasses.asdict(self.tc):
+            diff = {k: (meta["train_config"].get(k), v) for k, v in
+                    dataclasses.asdict(self.tc).items()
+                    if meta["train_config"].get(k) != v}
+            warnings.warn(f"restoring {path} under a different TrainConfig "
+                          f"(ckpt vs current): {diff}")
+        treedef = jax.tree_util.tree_structure(self.opt_state)
+        if treedef.num_leaves != len(opt_leaves):
+            raise ValueError(
+                f"{path}: optimizer state has {len(opt_leaves)} leaves but "
+                f"this FineTuner's optimizer expects {treedef.num_leaves} — "
+                f"TrainConfig (accumulation/freeze) or optax version "
+                f"mismatch")
         if self.mesh is not None:
-            params = shard_params(params, self.mesh, self.pspecs)
+            params = shard_params(jax.tree.map(jnp.asarray, params),
+                                  self.mesh, self.pspecs)
+        else:
+            params = jax.tree.map(jnp.asarray, params)
         self.params = params
-        self.opt_state = jax.tree.map(
-            lambda old, new: jnp.asarray(new) if hasattr(old, "dtype") else new,
-            self.opt_state, state["opt_state"])
-        self.step = int(state["step"])
+        self.opt_state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(leaf) for leaf in opt_leaves])
+        self.step = int(meta["step"])
         self.sync_model()
 
     def eval_step(self, batch) -> Tuple[float, List[str]]:

@@ -228,6 +228,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             key, sub = jax.random.split(key)
             m = ft.train_step(batch, sub)
             if ft.step % args.log_every_n_steps == 0:
+                # metrics arrive as device scalars; sync only on log cadence
+                m = {k: float(v) for k, v in m.items()}
                 print(f"step {ft.step}/{max_steps} loss={m['loss']:.4f} "
                       f"lr={m['lr']:.2e} gnorm={m['grad_norm']:.2f}")
                 log({"kind": "train", "step": ft.step, **m})

@@ -246,3 +246,47 @@ def test_rnnt_empty_transcript_trains_blank():
                      blank_id=ft.blank_id)
     np.testing.assert_allclose(float(both) * 2 - float(solo), float(l0),
                                rtol=1e-4)
+
+
+def test_checkpoint_npz_roundtrip_fresh_process(tmp_path):
+    """Train-state checkpoints are a single pickle-free npz: a FRESH
+    FineTuner (fresh optimizer tree, different init) restores params,
+    optimizer state, and step exactly, and continues deterministically
+    (VERDICT r1 #7; reference resume contract train_utils/train.py:62,204)."""
+    tc = TrainConfig(lr=1e-3, total_steps=10, precision="fp32",
+                     accumulate_grad_batches=2)
+    ft = FineTuner(GigaAMASR(tiny_cfg("ctc"), seed=1,
+                             compute_dtype=jnp.float32), tc)
+    ft.train_step(synth_batch(seed=0), jax.random.PRNGKey(0))
+    ft.train_step(synth_batch(seed=1), jax.random.PRNGKey(1))
+    path = str(tmp_path / "state.ckpt")
+    ft.save_checkpoint(path)
+
+    # the file must be loadable WITHOUT pickle
+    with np.load(path, allow_pickle=False) as z:
+        assert "__meta__" in z.files
+
+    ft2 = FineTuner(GigaAMASR(tiny_cfg("ctc"), seed=99,
+                              compute_dtype=jnp.float32), tc)
+    ft2.restore_checkpoint(path)
+    assert ft2.step == ft.step
+    for a, b in zip(jax.tree.leaves(ft.params), jax.tree.leaves(ft2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ft.opt_state),
+                    jax.tree.leaves(ft2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # identical continuation from the restored state
+    m1 = ft.train_step(synth_batch(seed=2), jax.random.PRNGKey(2))
+    m2 = ft2.train_step(synth_batch(seed=2), jax.random.PRNGKey(2))
+    assert float(m1["loss"]) == float(m2["loss"])
+
+    # structural mismatch (different accumulation -> different opt tree)
+    ft3 = FineTuner(GigaAMASR(tiny_cfg("ctc"), seed=0,
+                              compute_dtype=jnp.float32),
+                    TrainConfig(lr=1e-3, total_steps=10, precision="fp32"))
+    with pytest.raises(ValueError, match="leaves"):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ft3.restore_checkpoint(path)
