@@ -113,7 +113,10 @@ def main() -> None:
             key = jax.random.PRNGKey(0)
 
             def step():
-                ft.train_step(db, key)  # returns python floats (blocks)
+                # metrics are device scalars (train_step never syncs);
+                # block explicitly so the timing covers the device work
+                m = ft.train_step(db, key)
+                jax.block_until_ready((m["loss"], m["grad_norm"]))
 
             t = timeit(step)
             point["train_step_s"] = t

@@ -520,6 +520,30 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
     return listify(root)
 
 
+def tree_to_host(tree):
+    """Pytree of (possibly multi-host-sharded) arrays -> host numpy.
+
+    Per-leaf, because the two cases need opposite handling (verified in a
+    real 2-process ``jax.distributed`` run, ``tests/test_multihost.py``):
+
+    * fully-addressable leaves (single host, or replicated across hosts):
+      ``np.asarray`` reads them directly — ``process_allgather`` would
+      instead treat them as process-local data and CONCATENATE the copies;
+    * non-fully-addressable leaves (sharded over a multi-host mesh): must
+      be allgathered with ``tiled=True`` (the default stacking mode raises
+      for global arrays).  This is a collective: every process must call.
+    """
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(leaf, tree)
+
+
 def save_model(model: GigaAM, path: str) -> None:
     """Save params (npz) + config (json) as a native artifact pair.
 
@@ -531,11 +555,7 @@ def save_model(model: GigaAM, path: str) -> None:
     Multi-host safe: a collective gather brings sharded params to every
     host, then only process 0 writes (call from all processes).
     """
-    params = model.params
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        params = multihost_utils.process_allgather(params)
+    params = tree_to_host(model.params)
     if jax.process_index() != 0:
         return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

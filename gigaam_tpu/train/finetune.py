@@ -40,6 +40,9 @@ from ..metrics import wer_counts
 from ..models import heads as heads_lib
 from ..models.encoder import PosTables, conformer_forward
 from ..models.model import GigaAMASR
+# shared with save_model: per-leaf gather that handles replicated vs
+# mesh-sharded leaves correctly on multi-host (see models/model.py)
+from ..models.model import tree_to_host as _tree_to_host
 from ..ops.ctc_loss import ctc_loss
 from ..ops.rnnt_loss import rnnt_loss
 from ..ops.spec_augment import spec_augment
@@ -65,18 +68,6 @@ class TrainConfig:
     accumulate_grad_batches: int = 1
 
 
-def _tree_to_host(tree):
-    """Pytree of (possibly multi-host-sharded) arrays -> host numpy.
-
-    On a single host ``np.asarray`` suffices; across hosts each process
-    only holds its shards, so the tree is allgathered first (a collective:
-    every process must call this, after which only rank 0 needs to write).
-    """
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        tree = multihost_utils.process_allgather(tree)
-    return jax.tree.map(np.asarray, tree)
 
 
 def _is_bn_buffer(path: Tuple[Any, ...]) -> bool:

@@ -138,3 +138,50 @@ def test_conv1d_subsampling_path():
     out, out_len, _ = run_encoder(cfg, params, feats, jnp.asarray([29, 13]))
     assert out.shape[0] == 2 and out.shape[2] == cfg.d_model
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_full_scale_batch_invariance_fp32_and_bf16():
+    """Full flagship geometry (16 layers, d_model=768, rotary) at realistic
+    weight scale — the 2-layer minis above can't expose 16-layer
+    accumulation (reference contract: atol 0.03 on its fp16 model,
+    ``tests/test_batching.py:70-120``).  Three pins, measured 2026-08-19:
+
+    * fp32 batched-vs-single drift is ~2e-6 -> the padding/masking chain is
+      EXACT at full depth (any leak would dwarf that);
+    * bf16 drift is pure mantissa accumulation: max ~0.0625 ~= 2% of the
+      post-LN signal (|out| mean 0.80, max 3.2).  bf16 keeps 8 mantissa
+      bits vs fp16's 11, so the reference's 0.03 scales to ~0.24 here;
+      0.1 is the regression bound;
+    * the user-visible contract — identical transcripts batched vs single —
+      holds in bf16.
+    """
+    import gigaam_tpu
+
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    # multi-tone "speech" like the reference's synthetic batching test
+    long_wav = sum(0.2 * np.sin(2 * np.pi * f * t)
+                   for f in (220.0, 450.0, 910.0)).astype(np.float32)
+    t2 = t[: sr * 2]
+    short_wav = sum(0.25 * np.sin(2 * np.pi * f * t2)
+                    for f in (330.0, 640.0)).astype(np.float32)
+
+    def drift(dtype):
+        model = gigaam_tpu.load_model("ctc", init="random",
+                                      compute_dtype=dtype)
+        out_b, len_b = model.encode_batch([long_wav, short_wav])
+        out_s, len_s = model.encode_batch([short_wav])
+        n = int(len_s[0])
+        assert n == int(len_b[1])
+        d = np.abs(np.asarray(out_b[1, :n], dtype=np.float32)
+                   - np.asarray(out_s[0, :n], dtype=np.float32))
+        sig = np.abs(np.asarray(out_s, dtype=np.float32))
+        assert sig.mean() > 0.1  # tolerance is meaningful vs the signal
+        texts_b = model._decode_batch([long_wav, short_wav],
+                                      word_timestamps=False)
+        texts_s = model._decode_batch([short_wav], word_timestamps=False)
+        assert texts_b[1][0] == texts_s[0][0], "transcript changed in batch"
+        return float(d.max())
+
+    assert drift(jnp.float32) < 1e-4, "padding leaked into valid frames"
+    assert drift(jnp.bfloat16) < 0.1, "bf16 accumulation regressed"

@@ -1,0 +1,125 @@
+"""Real 2-process ``jax.distributed`` CPU test for the multi-host branches.
+
+The virtual 8-device mesh used everywhere else in the suite is still ONE
+process — it never exercises ``jax.process_count() > 1`` code:
+``tree_to_host``'s allgather and ``save_model``'s rank-0 write.  Here two
+actual processes form a distributed CPU cluster (2 local devices each, 4
+global) and run those paths end to end (SURVEY §4's multi-host testing
+note; the reference has no analogue — its only distributed surface is
+Lightning DDP).
+
+Found-by-this-test regression guard: ``process_allgather`` must be called
+``tiled=True`` per *non-fully-addressable* leaf — the old whole-tree
+default-mode call raised on sharded params, and tiled mode on replicated
+(fully-addressable) leaves would concatenate the per-process copies.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+except Exception as e:
+    print("SKIP-DISTRIBUTED:", e, flush=True)
+    sys.exit(0)
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4
+
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, %(repo)r)
+from gigaam_tpu.models.model import tree_to_host
+
+mesh = Mesh(np.array(jax.devices()).reshape(2, 2), ("data", "model"))
+
+# 1) globally-sharded leaf: each process contributes its half
+sharded = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), np.arange(4.0) + 4 * pid,
+    global_shape=(8,))
+# 2) replicated-over-the-global-mesh leaf (non-fully-addressable too)
+repl = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P()), np.full((3,), 7.0), global_shape=(3,))
+host = tree_to_host({"sharded": sharded, "repl": repl})
+np.testing.assert_array_equal(host["sharded"], np.arange(8.0))
+np.testing.assert_array_equal(host["repl"], np.full((3,), 7.0))  # no dup
+
+# 3) save_model across processes: rank 0 writes, artifact holds the
+# gathered values
+from gigaam_tpu.config import (CTCHeadConfig, DecodingConfig, EncoderConfig,
+                               FeaturesConfig, ModelConfig, RU_VOCAB)
+from gigaam_tpu.models.model import GigaAMASR, load_native, save_model
+from gigaam_tpu.parallel.mesh import params_pspecs, shard_params
+
+cfg = ModelConfig(
+    model_name="mh_tiny", model_class="asr", preprocessor=FeaturesConfig(),
+    encoder=EncoderConfig(n_layers=2, d_model=32, n_heads=4,
+                          ff_expansion_factor=2, conv_kernel_size=7,
+                          pos_emb_max_len=64),
+    head=CTCHeadConfig(feat_in=32, num_classes=len(RU_VOCAB) + 1),
+    decoding=DecodingConfig(kind="ctc_greedy", vocabulary=list(RU_VOCAB)))
+model = GigaAMASR(cfg, seed=0, compute_dtype=jnp.float32)
+ref = np.asarray(model.params["head"]["proj"]["w"]).copy()
+model.params = shard_params(
+    model.params, mesh,
+    params_pspecs(model.params, "rotary", "batch_norm"))
+art = os.path.join(outdir, "mh_model")
+save_model(model, art)     # collective: both processes call
+if pid == 0:
+    back = load_native(art)
+    np.testing.assert_allclose(
+        np.asarray(back.params["head"]["proj"]["w"]), ref, atol=1e-6)
+print("MH-OK", pid, flush=True)
+"""
+
+
+@pytest.mark.parametrize("", [()])  # single case, named for -k selection
+def test_two_process_distributed_gather_and_save(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER % {"repo": REPO})
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen([sys.executable, str(worker), str(i), str(port),
+                          str(tmp_path)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out:\n" + "\n".join(outs))
+
+    joined = "\n".join(outs)
+    if "SKIP-DISTRIBUTED" in joined:
+        pytest.skip("jax.distributed CPU backend unavailable here: "
+                    + joined.split("SKIP-DISTRIBUTED:")[1][:200])
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and f"MH-OK {i}" in out, \
+            f"worker {i} failed:\n{out[-2000:]}"
