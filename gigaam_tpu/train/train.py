@@ -66,6 +66,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="decode the current train batch and log train/wer "
                         "every N steps (reference module.py:200-213); 0=off")
     p.add_argument("--save_dir", default="exp/default")
+    p.add_argument("--exp_name", default=None,
+                   help="run subdirectory under --save_dir; the literal "
+                        "'auto' derives a name from the hyperparameters "
+                        "(reference build_exp_name, "
+                        "train_utils/utils.py:168-218)")
     p.add_argument("--save_top_k", type=int, default=1)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--initial_validation", action="store_true")
@@ -75,6 +80,69 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="0 = all devices")
     p.add_argument("--model_parallel", type=int, default=1)
     return p.parse_args(argv)
+
+
+def _fmt_num(v) -> str:
+    return f"{v:g}".replace("+0", "+").replace("-0", "-")
+
+
+def _sanitize_name(name: str) -> str:
+    import re
+
+    return re.sub(r"[^a-zA-Z0-9._-]+", "_", name).strip("._-") or "exp"
+
+
+def experiment_name(args) -> str:
+    """Unique run name derived from the hyperparameters that affect
+    training dynamics, skipping values at their defaults (reference
+    ``build_exp_name``, ``train_utils/utils.py:168-218``)."""
+    base = os.path.basename(str(args.model_name))
+    for suf in (".npz", ".json", ".ckpt"):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+    parts = [base.replace("_", "")]
+    parts += [f"lr{_fmt_num(args.lr)}", f"wd{_fmt_num(args.weight_decay)}",
+              f"b{args.batch_size}"]
+    if args.accumulate_grad_batches > 1:
+        parts.append(f"agb{args.accumulate_grad_batches}")
+    if args.max_steps:
+        parts.append(f"{args.max_steps}steps")
+    else:
+        parts.append(f"{args.epochs}ep")
+    if args.warmup_ratio != 0.1:
+        parts.append(f"wmp{_fmt_num(args.warmup_ratio)}")
+    if args.freeze_encoder:
+        parts.append("frenc")
+    if args.activation_checkpointing:
+        parts.append("acckpt")
+    if args.min_duration or args.max_duration is not None:
+        hi = "inf" if args.max_duration is None else _fmt_num(args.max_duration)
+        parts.append(f"dur{_fmt_num(args.min_duration)}-{hi}s")
+    if args.grad_clip != 1.0:
+        parts.append(f"gc{_fmt_num(args.grad_clip)}")
+    if args.precision != "bf16":
+        parts.append(f"pr-{args.precision}")
+    if args.seed != 0:
+        parts.append(f"seed{args.seed}")
+    if args.raw_text:
+        parts.append("raw")
+    if args.val_first_batches is not None:
+        parts.append(f"vfb{args.val_first_batches}")
+    if args.spec_augment:
+        parts.append("specaug")
+        if args.freq_masks != 2:
+            parts.append(f"fm{args.freq_masks}")
+        if args.freq_width != 27:
+            parts.append(f"fw{args.freq_width}")
+        if args.time_masks != 2:
+            parts.append(f"tm{args.time_masks}")
+        if args.time_width != 20:
+            parts.append(f"tw{args.time_width}")
+    if args.model_parallel > 1:
+        parts.append(f"tp{args.model_parallel}")
+    if args.data_parallel:
+        parts.append(f"dp{args.data_parallel}")
+    return _sanitize_name("_".join(parts))
 
 
 class TopKKeeper:
@@ -125,6 +193,11 @@ def run_validation(ft, val_ds, batch_size: int,
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = parse_args(argv)
+    if args.exp_name:
+        name = (experiment_name(args) if args.exp_name == "auto"
+                else _sanitize_name(args.exp_name))
+        args.save_dir = os.path.join(args.save_dir, name)
+        print(f"experiment: {name} -> {args.save_dir}")
 
     import jax
 

@@ -174,3 +174,30 @@ def test_convert_checkpoint_tool(tmp_path):
            .standard_normal(16000)).astype("float32")
     text, _ = model._decode_batch([wav], word_timestamps=False)[0]
     assert isinstance(text, str)
+
+
+def test_experiment_name_derivation():
+    """--exp_name auto derives a stable hyperparameter-encoded run name,
+    skipping defaults (reference build_exp_name,
+    train_utils/utils.py:168-218)."""
+    from gigaam_tpu.train.train import experiment_name, parse_args
+
+    base = ["--model_name", "/x/v3_ctc.npz", "--train_manifest", "t.tsv",
+            "--val_manifest", "v.tsv"]
+    args = parse_args(base)
+    assert experiment_name(args) == "v3ctc_lr0.0001_wd0.01_b16_1ep"
+
+    args = parse_args(base + [
+        "--lr", "3e-4", "--batch_size", "8", "--max_steps", "100",
+        "--accumulate_grad_batches", "4", "--freeze_encoder",
+        "--activation_checkpointing", "--precision", "fp32",
+        "--seed", "7", "--spec_augment", "--freq_masks", "3",
+        "--model_parallel", "2"])
+    name = experiment_name(args)
+    assert name == ("v3ctc_lr0.0003_wd0.01_b8_agb4_100steps_frenc_acckpt_"
+                    "pr-fp32_seed7_specaug_fm3_tp2")
+    # weird model paths sanitize
+    args = parse_args(["--model_name", "weird name!.ckpt",
+                       "--train_manifest", "t", "--val_manifest", "v"])
+    assert " " not in experiment_name(args)
+    assert "!" not in experiment_name(args)
