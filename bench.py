@@ -177,22 +177,23 @@ def inner_main() -> None:
     model = load_model("v3_ctc", init="random")
     seconds = 20
     detail = {}
-    best_rtf, best_mfu = 0.0, 0.0
     for bs in (8, 32):
         dt = _measure(model, bs, seconds)
         rtf = bs * seconds / dt
         mfu = pipeline_flops(bs, 16000 * seconds) / dt / (PEAK_TFLOPS * 1e12)
         detail[f"bs{bs}"] = {"rtf": round(rtf, 1), "mfu": round(mfu, 4),
                              "ms_per_fwd": round(dt * 1e3, 2)}
-        if rtf > best_rtf:
-            best_rtf, best_mfu = rtf, mfu
 
+    # the headline is ALWAYS the serving batch (bs=32) so the metric keeps
+    # a stable meaning across rounds; bs=8 stays in detail for comparison
+    head = detail["bs32"]
     print(json.dumps({
         "metric": METRIC,
-        "value": round(best_rtf, 1),
+        "value": head["rtf"],
         "unit": UNIT,
-        "vs_baseline": round(best_rtf / BASELINE_RTF, 3),
-        "mfu": round(best_mfu, 4),
+        "vs_baseline": round(head["rtf"] / BASELINE_RTF, 3),
+        "mfu": head["mfu"],
+        "headline_batch": 32,
         "peak_tflops_assumed": PEAK_TFLOPS,
         "detail": detail,
     }))

@@ -91,8 +91,12 @@ def _unwrap(node: Any) -> Any:
     ``_content``), containers in ``_content``; ``_parent`` back-references
     are never followed, so the pickle-memo cycles are harmless.
     """
-    if isinstance(node, _StubObject):
-        d = node.__dict__
+    d = getattr(node, "__dict__", None) if not isinstance(node, dict) else None
+    if isinstance(node, _StubObject) or (
+            isinstance(d, dict) and ("_val" in d or "_content" in d)):
+        # either our stub, or a REAL omegaconf node (containers carry
+        # ``_content``, value nodes ``_val``) — reached when omegaconf is
+        # importable so _install_stub_modules left it alone
         if "_val" in d:  # ValueNode (Any/String/Integer/Float/Boolean/...)
             return _unwrap(d["_val"])
         content = d.get("_content", d.get("_state"))

@@ -65,6 +65,12 @@ class PosTables:
         # tuple so concurrent readers never see a length/table mismatch
         self._state: Tuple[int, Optional[Tuple[np.ndarray, np.ndarray]],
                            Optional[np.ndarray]] = (0, None, None)
+        import threading
+
+        # serializes growth: without it two concurrent ensure() calls can
+        # install tables out of order and SHRINK the state (a reader's
+        # cos[:t] would then silently truncate)
+        self._grow_lock = threading.Lock()
         # device-array cache per t: lengths are bucketed, so a handful of
         # entries ends the per-call host->device re-upload of MB-sized
         # tables on the serving hot path
@@ -78,15 +84,18 @@ class PosTables:
         length = max(length, self.cfg.pos_emb_max_len)
         if length <= self._state[0]:
             return
-        if self.cfg.self_attention_model == "rotary":
-            self._state = (length,
-                           rotary_tables(length, self.cfg.d_head,
-                                         self.cfg.pos_emb_max_len),
-                           None)
-        else:
-            self._state = (length, None, relpos_table(length,
-                                                      self.cfg.d_model))
-        self._dev.clear()
+        with self._grow_lock:
+            if length <= self._state[0]:  # another thread grew it first
+                return
+            if self.cfg.self_attention_model == "rotary":
+                self._state = (length,
+                               rotary_tables(length, self.cfg.d_head,
+                                             self.cfg.pos_emb_max_len),
+                               None)
+            else:
+                self._state = (length, None,
+                               relpos_table(length, self.cfg.d_model))
+            self._dev.clear()
 
     @staticmethod
     def _cacheable(val) -> bool:

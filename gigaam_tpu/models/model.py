@@ -570,11 +570,11 @@ def save_model(model: GigaAM, path: str) -> None:
 
         tok_name = os.path.basename(base) + "_tokenizer.model"
         tok_dst = os.path.join(os.path.dirname(base) or ".", tok_name)
-        src = dec.model_path
-        if not os.path.isabs(src):
-            # model was itself loaded from an artifact: resolve before copy
-            src = os.path.join(os.path.dirname(base) or ".", src)
-        if os.path.abspath(src) != os.path.abspath(tok_dst):
+        # cfg.decoding.model_path is cwd-relative or absolute (load_native
+        # already rebased artifact-bundled paths when the model was loaded);
+        # resolving it against the DESTINATION dir would break both cases
+        src = os.path.abspath(dec.model_path)
+        if src != os.path.abspath(tok_dst):
             shutil.copyfile(src, tok_dst)
         cfg = dataclasses.replace(
             cfg, decoding=dataclasses.replace(dec, model_path=tok_name))

@@ -13,6 +13,9 @@ HTTP API (stdlib only):
   POST /transcribe           -> {"text": ...[, "words": [...]]}
        body: WAV bytes (Content-Type: audio/wav) or JSON
        {"audio": [floats @16 kHz]}; query ?timestamps=1 for word times.
+       Word entries are {"word", "start", "end"} (seconds, ms precision) —
+       the shape types.py::Word.to_dict defines, matching the reference's
+       timestamp dumps (ref tests/test_timestamps.py:15).
        Audio over 25 s is rejected (400) — use /transcribe_longform.
   POST /transcribe_longform  -> {"text": ..., "segments": [{start, end,
        text[, words]}]}; same body formats, any duration (VAD-chunked).

@@ -28,6 +28,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--beam_size", type=int, default=1,
                    help="beam width (1 = greedy; RNNT on-device beam / "
                         "CTC prefix beam)")
+    p.add_argument("--download_root", default=None,
+                   help="cache dir for named models (default "
+                        "~/.cache/gigaam_tpu)")
     args = p.parse_args(argv)
 
     import gigaam_tpu
@@ -35,7 +38,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     from gigaam_tpu.metrics import compute_wer
     from gigaam_tpu.models.model import GigaAMASR
 
-    model = gigaam_tpu.load_model(args.model_name)
+    model = gigaam_tpu.load_model(args.model_name,
+                                  download_root=args.download_root)
     assert isinstance(model, GigaAMASR), "ASR model required"
 
     ds = AudioDataset(args.manifest, tokenizer=model.tokenizer,

@@ -101,6 +101,28 @@ def make_optimizer(tc: TrainConfig):
     return adamw, schedule
 
 
+def host_lr_schedule(tc: TrainConfig):
+    """Pure-Python twin of ``make_optimizer``'s warmup-cosine schedule.
+
+    The optax schedule computes with jnp ops, so evaluating it for logging
+    would dispatch to the device and block (~25 ms/step on a tunneled TPU)
+    — the exact per-step sync ``train_step`` is designed to avoid.  Pinned
+    equal to the optax schedule in tests/test_training.py.
+    """
+    import math
+
+    warmup = max(1, int(tc.warmup_ratio * tc.total_steps))
+    decay = max(tc.total_steps, warmup + 1)
+
+    def lr(step: int) -> float:
+        if step < warmup:
+            return tc.lr * step / warmup
+        t = min(step - warmup, decay - warmup) / (decay - warmup)
+        return tc.lr * 0.5 * (1.0 + math.cos(math.pi * t))
+
+    return lr
+
+
 
 
 class FineTuner:
@@ -131,6 +153,7 @@ class FineTuner:
         self.enc_cfg = enc_cfg
 
         self.optimizer, self.schedule = self._build_optimizer(model.params, tc)
+        self._host_lr = host_lr_schedule(tc)
         params = model.params
         if mesh is not None:
             self.pspecs = params_pspecs(
@@ -259,7 +282,9 @@ class FineTuner:
         return {
             "loss": loss,
             "grad_norm": grad_norm,
-            "lr": float(self.schedule(opt_steps)),
+            # host-computed twin of the optax schedule: float(schedule(...))
+            # would itself be a device round trip every step
+            "lr": self._host_lr(opt_steps),
         }
 
     # ------------------------------------------------------------------

@@ -56,10 +56,20 @@ def _discover_neural_vad() -> Optional[Callable[[np.ndarray], List[Region]]]:
         return None
     if _NEURAL_VAD is not None and _NEURAL_VAD[0] == path:
         return _NEURAL_VAD[1]
-    from .models.vad_net import load_vad_regions_fn
+    try:
+        from .models.vad_net import load_vad_regions_fn
 
-    fn = load_vad_regions_fn(path)
-    _NEURAL_VAD = (path, fn)
+        fn = load_vad_regions_fn(path)
+    except Exception as e:
+        # a half-written or corrupt artifact in the cache (e.g. an
+        # interrupted convert_vad.py) must degrade to the energy VAD,
+        # not break every transcribe_longform
+        import warnings
+
+        warnings.warn(f"ignoring unusable VAD artifact {path!r}: {e}; "
+                      f"falling back to the energy VAD")
+        fn = None
+    _NEURAL_VAD = (path, fn)  # cache failures too: warn once, not per call
     return fn
 
 

@@ -412,3 +412,34 @@ def test_real_omegaconf_pickle_fixture():
            .standard_normal(16000)).astype(np.float32)
     text, _ = model._decode_batch([wav], word_timestamps=False)[0]
     assert isinstance(text, str)
+
+
+def test_omegaconf_fixture_with_real_classes_importable(monkeypatch):
+    """When omegaconf IS importable (a user migrating from the reference),
+    torch.load materializes real node objects instead of stubs — _unwrap
+    must duck-type on _val/_content (code-review r2 finding)."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "make_omegaconf_fixture",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "make_omegaconf_fixture.py"))
+    gen = importlib.util.module_from_spec(spec)
+    # dataclass creation inspects sys.modules[cls.__module__]
+    sys.modules["make_omegaconf_fixture"] = gen
+    spec.loader.exec_module(gen)
+
+    created = gen._register_replica()   # acts as an installed omegaconf
+    try:
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "ref_cfg_omegaconf.ckpt")
+        cfg, params = convert_reference_checkpoint(path)
+        assert cfg.model_name == "v3_ctc"
+        assert cfg.encoder.feat_in == 64     # interpolation resolved
+        assert cfg.head.feat_in == 32
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
+        sys.modules.pop("make_omegaconf_fixture", None)

@@ -246,3 +246,30 @@ def test_save_model_artifact_is_relocatable(tmp_path):
     save_model(back, str(again / "tiny_sp"))
     assert (again / "tiny_sp_tokenizer.model").is_file()
     assert load_native(str(again / "tiny_sp")).tokenizer.decode([1]) == "а"
+
+
+def test_save_model_with_cwd_relative_paths(tmp_path, monkeypatch):
+    """Relative tokenizer paths and relative artifact paths are resolved
+    against the CWD, not the destination dir (code-review r2 finding:
+    joining the destination made cross-dir saves crash)."""
+    from gigaam_tpu.config import (CTCHeadConfig, DecodingConfig,
+                                   FeaturesConfig, ModelConfig)
+    from gigaam_tpu.models.model import load_native
+    from test_export_serve import _write_tiny_sp_model
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("cache")
+    _write_tiny_sp_model("cache/tok.model",
+                         [("<unk>", 0.0, 2)] + [(c, -1.0, 1) for c in "аб"])
+    cfg = ModelConfig(
+        model_name="tiny_rel", model_class="asr",
+        preprocessor=FeaturesConfig(), encoder=tiny_encoder(),
+        head=CTCHeadConfig(feat_in=64, num_classes=4),
+        decoding=DecodingConfig(kind="ctc_greedy", vocabulary=[],
+                                model_path="cache/tok.model"))  # cwd-relative
+    model = GigaAMASR(cfg, seed=0, compute_dtype=jnp.float32)
+    save_model(model, "a/m")                       # relative destination
+    m2 = load_native("a/m")                        # relative artifact path
+    assert m2.tokenizer.decode([1]) == "а"
+    save_model(m2, "b/m")                          # re-save to another dir
+    assert load_native("b/m").tokenizer.decode([2]) == "б"

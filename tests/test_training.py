@@ -290,3 +290,21 @@ def test_checkpoint_npz_roundtrip_fresh_process(tmp_path):
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             ft3.restore_checkpoint(path)
+
+
+def test_host_lr_schedule_matches_optax():
+    """The host-side LR twin (used so train_step's metrics never touch the
+    device) must track the optax schedule it mirrors."""
+    from gigaam_tpu.train.finetune import host_lr_schedule, make_optimizer
+
+    for tc in (TrainConfig(lr=3e-4, total_steps=100, warmup_ratio=0.1),
+               TrainConfig(lr=1e-3, total_steps=1, warmup_ratio=0.1),
+               TrainConfig(lr=5e-5, total_steps=7, warmup_ratio=0.4)):
+        _, sched = make_optimizer(tc)
+        host = host_lr_schedule(tc)
+        for step in range(0, tc.total_steps + 2):
+            # optax evaluates the cosine in float32: 0.5*(1+cos) cancels
+            # catastrophically near the end of decay, so bound the error
+            # relative to the PEAK lr, not the near-zero point value
+            np.testing.assert_allclose(host(step), float(sched(step)),
+                                       rtol=1e-4, atol=tc.lr * 1e-6)

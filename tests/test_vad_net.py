@@ -308,3 +308,31 @@ def test_neural_vad_autodiscovery(tmp_path, monkeypatch):
     # ... and IS found when the artifact sits at the cache default path
     monkeypatch.setattr(gigaam_tpu, "_CACHE_DIR", str(tmp_path))
     assert vad._discover_neural_vad() is not None
+
+
+def test_corrupt_vad_artifact_falls_back_to_energy(tmp_path, monkeypatch):
+    """A half-written artifact (npz without its json sidecar) must degrade
+    to the energy VAD with a warning, not break transcribe_longform."""
+    import warnings
+
+    from gigaam_tpu import vad
+
+    bad = tmp_path / "vad_segmentation.npz"
+    bad.write_bytes(b"not an npz")
+    monkeypatch.setattr(vad, "_NEURAL_VAD", None)
+    monkeypatch.setenv("GIGAAM_VAD_ARTIFACT", str(bad))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert vad._discover_neural_vad() is None
+        assert any("unusable VAD artifact" in str(x.message) for x in w)
+    # failure is cached: a second call stays silent and still falls back
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert vad._discover_neural_vad() is None
+        assert not w
+    # end to end: segmentation still works via the energy detector
+    wav = np.zeros(SR * 2, dtype=np.float32)
+    t = np.arange(SR) / SR
+    wav[SR // 2: SR // 2 + SR] = (0.4 * np.sin(2 * np.pi * 440 * t))
+    segs, bounds = vad.segment_audio_file(wav)
+    assert len(bounds) == 1

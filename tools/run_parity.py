@@ -120,7 +120,7 @@ def main() -> int:
             out = os.path.join(args.root, f"preds_{name}.jsonl")
             try:
                 eval_main(["--model_name", name, "--manifest", args.manifest,
-                           "--out", out])
+                           "--out", out, "--download_root", args.root])
                 with open(out + ".summary.json") as f:
                     wer = 100.0 * json.load(f)["wer_e2e"]
             except Exception as e:
