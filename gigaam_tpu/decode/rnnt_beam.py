@@ -20,7 +20,11 @@ transducer decoders.
 
 With ``beam_size=1`` every top-1 selection is the argmax over
 {blank} ∪ labels — decision-identical to ``rnnt_greedy_decode``
-(pinned by tests/test_beam.py).
+(pinned by tests/test_beam.py) up to exact fp32 score ties, where the two
+break ties differently: greedy's ``argmax`` prefers the lowest vocab index
+(a label — blank is last), this pool layout prefers blank (stay slots come
+first).  Exact ties do not occur for trained weights; the one systematic
+source is an all-zero ReLU joint output, i.e. a degenerate/untrained model.
 """
 
 from __future__ import annotations
@@ -59,6 +63,13 @@ def rnnt_beam_decode(
     blank = params["decoder"]["embed"].shape[0] - 1
     n_layers = len(params["decoder"]["lstm"])
     hidden = params["decoder"]["embed"].shape[1]
+    # u_cap sizes the token/frame buffers (and the per-expansion gather
+    # width).  The default covers the absolute worst case (max_symbols per
+    # frame — only untrained models do that) so beam_size=1 stays
+    # decision-identical to greedy even there; trained transcripts have
+    # U << T, so callers that care about decode HBM traffic can pass
+    # max_tokens ~ t_max for a ~max_symbols-fold narrower gather (the
+    # `count < u_cap` guard makes a small cap a safe truncation).
     u_cap = max_tokens if max_tokens > 0 else t_max * max_symbols
     state_dtype = params["decoder"]["embed"].dtype
 
@@ -86,7 +97,7 @@ def rnnt_beam_decode(
             s["label"].reshape(b * K),
             s["h"].reshape(n_layers, b * K, hidden),
             s["c"].reshape(n_layers, b * K, hidden))
-        enc_t = enc_proj[:, jnp.minimum(t, t_max - 1), :]        # [B, J]
+        enc_t = enc_proj[:, t, :]   # t < t_hi <= t_max by the loop bound
         logp = rnnt_joint_step_preproj(
             params, jnp.repeat(enc_t, K, axis=0), pred)
         logp = logp.reshape(b, K, -1)                            # [B, K, V+1]
@@ -157,6 +168,10 @@ def rnnt_beam_decode(
             cond, body, (jnp.int32(0), s, jnp.zeros((b, K), bool)))
         return s
 
-    out = jax.lax.fori_loop(0, t_max, frame, state)
+    # dynamic bound: frames past every sample's enc_len would each still pay
+    # one full B*K expansion before frame_done saturates — skip them wholesale
+    # (fori_loop with a traced bound lowers to while_loop)
+    t_hi = jnp.max(jnp.minimum(enc_len, t_max))
+    out = jax.lax.fori_loop(0, t_hi, frame, state)
     # beams come out of top_k sorted descending by score: beam 0 is best
     return out["tokens"][:, 0], out["frames"][:, 0], out["count"][:, 0]

@@ -82,6 +82,9 @@ def rnnt_greedy_decode(
         enc_t = jnp.take_along_axis(
             enc_proj, t_safe[:, None, None], axis=1)[:, 0, :]      # [B, J]
         pred, h_new, c_new = rnnt_predict_step(params, s["label"], s["h"], s["c"])
+        # the in-loop log_softmax is argmax-invariant, but dropping it
+        # measured ZERO chip-time win (docs/PERF.md loop-body findings),
+        # so the shared helper stays
         logp = rnnt_joint_step_preproj(params, enc_t, pred)        # [B, V]
         k = jnp.argmax(logp, axis=-1).astype(jnp.int32)            # [B]
 

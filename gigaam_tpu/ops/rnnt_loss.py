@@ -121,7 +121,9 @@ def rnnt_loss_from_log_probs(
         v = jnp.logaddexp(from_t, from_u)
         # cells outside the valid lattice region stay NEG_INF
         t_of_u = d - u_range                                 # [1, U+1]
-        valid = (t_of_u >= 0) & (t_of_u < t_max) & (u_range < u1)
+        # (per-sample U bounds are NOT enforced here — the terminal gather
+        # picks alpha at each sample's own target_length)
+        valid = (t_of_u >= 0) & (t_of_u < t_max)
         v = jnp.where(valid, v, NEG_INF)
         return v, v
 
@@ -162,4 +164,9 @@ def rnnt_loss(
         blank_lp, emit_lp,
         jnp.clip(logit_lengths, 1, encoded.shape[1]),
         jnp.clip(target_lengths, 0, targets.shape[1]))
-    return nll.mean()
+    # zero-length (pad/dummy) samples have no valid alignment: mask them out
+    # of the mean instead of scoring blank on a padding frame (fixed-shape
+    # TPU batches legitimately carry such rows)
+    valid = logit_lengths > 0
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1).astype(nll.dtype)

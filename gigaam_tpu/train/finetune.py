@@ -210,7 +210,9 @@ class FineTuner:
             # model to hallucinate token 0 on empty-label audio
             loss = rnnt_loss(
                 params["head"], encoded.astype(jnp.float32), tokens,
-                jnp.clip(enc_lens, 1, encoded.shape[1]),
+                # no min-clip: zero-length (pad) rows must reach the loss
+                # as 0 so it masks them out of the batch mean
+                jnp.minimum(enc_lens, encoded.shape[1]),
                 jnp.clip(tok_lens, 0, u1 - 1),
                 blank_id=self.blank_id,
                 time_chunk=self.tc.rnnt_time_chunk)

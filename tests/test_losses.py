@@ -168,3 +168,43 @@ def test_rnnt_loss_longer_targets_than_frames():
     loss = rnnt_loss(params, encoded, targets, jnp.asarray([t]),
                      jnp.asarray([u]), blank_id=blank, time_chunk=8)
     assert np.isfinite(float(loss))
+
+
+def test_rnnt_loss_masks_zero_length_rows():
+    """Fixed-shape TPU batches carry empty pad rows (enc_len=0): they must
+    not contribute to the batch-mean loss or its gradients (code-review
+    r2 finding: they were silently clipped to 1 frame and scored)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gigaam_tpu.config import RNNTDecoderConfig, RNNTHeadConfig, RNNTJointConfig
+    from gigaam_tpu.models.heads import init_rnnt_head
+    from gigaam_tpu.ops.rnnt_loss import rnnt_loss
+
+    v, d = 8, 12
+    cfg = RNNTHeadConfig(
+        decoder=RNNTDecoderConfig(pred_hidden=6, num_classes=v),
+        joint=RNNTJointConfig(enc_hidden=d, pred_hidden=6, joint_hidden=6,
+                              num_classes=v))
+    params = init_rnnt_head(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(rng.standard_normal((3, 10, d)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, v - 1, (3, 4)).astype(np.int32))
+
+    full = rnnt_loss(params, enc, tgt,
+                     jnp.asarray([10, 7, 0]), jnp.asarray([4, 2, 0]),
+                     blank_id=v - 1)
+    only_valid = rnnt_loss(params, enc[:2], tgt[:2],
+                           jnp.asarray([10, 7]), jnp.asarray([4, 2]),
+                           blank_id=v - 1)
+    np.testing.assert_allclose(float(full), float(only_valid), rtol=1e-6)
+
+    # gradients w.r.t. params are identical too (the pad row is inert)
+    g_full = jax.grad(lambda p: rnnt_loss(
+        p, enc, tgt, jnp.asarray([10, 7, 0]), jnp.asarray([4, 2, 0]),
+        blank_id=v - 1))(params)
+    g_valid = jax.grad(lambda p: rnnt_loss(
+        p, enc[:2], tgt[:2], jnp.asarray([10, 7]), jnp.asarray([4, 2]),
+        blank_id=v - 1))(params)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_valid)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
