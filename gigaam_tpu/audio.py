@@ -21,9 +21,13 @@ import numpy as np
 from .config import SAMPLE_RATE
 
 
-def _decode_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Decode PCM/float WAV via stdlib. Returns (float32 mono [-1,1], sr)."""
-    with wave.open(path, "rb") as wf:
+def _decode_wav(src) -> Tuple[np.ndarray, int]:
+    """Decode a PCM WAV via stdlib. Returns (float32 mono [-1,1], sr).
+
+    ``src`` is a filename or a binary file-like object (``wave.open``
+    accepts both) — the HTTP server decodes request bodies through here so
+    file and wire paths support the same sample widths (8/16/24/32-bit)."""
+    with wave.open(src, "rb") as wf:
         n_channels = wf.getnchannels()
         sampwidth = wf.getsampwidth()
         sr = wf.getframerate()
@@ -117,6 +121,18 @@ def load_audio(audio_path: str, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
                 "is not available"
             )
         return _decode_ffmpeg(audio_path, sample_rate)
+    return resample(wav, sr, sample_rate)
+
+
+def load_wav_bytes(body: bytes, sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Decode in-memory WAV bytes and resample to ``sample_rate``.
+
+    The HTTP server's body-decode path (``serve.py``); shares
+    ``_decode_wav`` with ``load_audio`` so both accept the same formats.
+    """
+    import io
+
+    wav, sr = _decode_wav(io.BytesIO(body))
     return resample(wav, sr, sample_rate)
 
 

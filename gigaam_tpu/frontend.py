@@ -100,11 +100,15 @@ def num_frames(num_samples: int, cfg: FeaturesConfig) -> int:
 
 
 def out_len(lengths: jnp.ndarray, cfg: FeaturesConfig) -> jnp.ndarray:
-    """Valid feature length per sample (``gigaam/preprocess.py:78-92``)."""
+    """Valid feature length per sample (``gigaam/preprocess.py:78-92``).
+
+    Clamped at 0: for center=False configs, audio shorter than one window
+    (~25 ms) would otherwise yield a negative length that downstream
+    consumers (masks, host slicing) must each defend against."""
     if cfg.center:
         return lengths // cfg.hop_length + 1
     span = max(cfg.n_fft, cfg.win_length)
-    return (lengths - span) // cfg.hop_length + 1
+    return jnp.maximum(0, (lengths - span) // cfg.hop_length + 1)
 
 
 class LogMelFrontend:

@@ -291,6 +291,7 @@ class GigaAMASR(GigaAM):
         self, wavs: List[np.ndarray], word_timestamps: bool,
         beam_size: int = 1,
         pad_rows_to: int = 0,
+        bucket: int = BUCKET_SAMPLES,
     ):
         """Start the device work for a batch; returns ``finalize()``.
 
@@ -298,13 +299,18 @@ class GigaAMASR(GigaAM):
         batch *before* finalizing this one — serving pipelines batches this
         way, overlapping device compute with the previous batch's readback
         and host-side decode.  ``finalize()`` blocks on the device results
-        and returns the ``_decode_batch`` output list."""
+        and returns the ``_decode_batch`` output list.
+
+        ``bucket`` is the duration-bucket granularity in samples; the
+        server passes a coarser value than the 1 s default to shrink the
+        set of compiled graphs it must warm (padded frames are masked, so
+        results are unchanged)."""
         n = len(wavs)
         if pad_rows_to > n:
             filler = np.zeros(min(len(w) for w in wavs), np.float32)
             wavs = list(wavs) + [filler] * (pad_rows_to - n)
         wavs, _ = self._dp_pad(wavs)
-        batch, lens = pad_wav_batch(wavs)
+        batch, lens = pad_wav_batch(wavs, bucket=bucket)
         pos = self._pos_for(batch.shape[1])
         dev_batch, dev_lens = self._device_batch(batch, lens)
 
@@ -367,6 +373,7 @@ class GigaAMASR(GigaAM):
         self, wavs: List[np.ndarray], word_timestamps: bool,
         beam_size: int = 1,
         pad_rows_to: int = 0,
+        bucket: int = BUCKET_SAMPLES,
     ) -> List[Tuple[str, Optional[List[Word]]]]:
         """Batched transcribe core (reference ``model.py:96-124``).
 
@@ -383,7 +390,8 @@ class GigaAMASR(GigaAM):
         axis — the multi-chip longform path."""
         return self._decode_batch_submit(wavs, word_timestamps,
                                          beam_size=beam_size,
-                                         pad_rows_to=pad_rows_to)()
+                                         pad_rows_to=pad_rows_to,
+                                         bucket=bucket)()
 
     # -- public API --------------------------------------------------------
 
@@ -409,9 +417,13 @@ class GigaAMASR(GigaAM):
         word_timestamps: bool = False,
         fr_batch_size: int = 16,
         beam_size: int = 1,
+        bucket: int = BUCKET_SAMPLES,
         **kwargs,
     ) -> LongformTranscriptionResult:
-        """VAD-segment + batched transcription (``model.py:195-259``)."""
+        """VAD-segment + batched transcription (``model.py:195-259``).
+
+        ``bucket``: duration-bucket granularity in samples for the chunk
+        batches (the server coarsens it to bound the warm graph set)."""
         from ..vad import segment_audio_file
 
         segments, boundaries = segment_audio_file(wav_file, SAMPLE_RATE,
@@ -430,7 +442,8 @@ class GigaAMASR(GigaAM):
         def submit(i: int):
             return (i, self._decode_batch_submit(
                 segments[i: i + fr_batch_size], word_timestamps,
-                beam_size=beam_size, pad_rows_to=fr_batch_size))
+                beam_size=beam_size, pad_rows_to=fr_batch_size,
+                bucket=bucket))
 
         from collections import deque
 

@@ -52,6 +52,28 @@ def fused_attention_available(t: int, kind: str = "sdpa") -> bool:
             and jax.default_backend() not in ("cpu",))
 
 
+def _balanced_block_q(t: int, block_q: int) -> int:
+    """Split t evenly into ceil(t/block_q) q-blocks, rounded up to the
+    128-sublane tile.  For t just past a block boundary (e.g. T'=750 with
+    block_q=512) a naive clamp leaves the last block mostly padding
+    (512+238 -> 53% waste); even splitting gives 2 x 384 (2% waste)."""
+    n_q = max(1, -(-t // block_q))
+    return max(128, (-(-t // n_q) + 127) // 128 * 128)
+
+
+def _relpos_geometry(t: int) -> "tuple[int, int]":
+    """(p_pad, n_bits) for the rel-pos shear.
+
+    ``p_pad`` lane-aligns the position axis — rolls in the kernel are
+    cyclic mod p_pad, and p_pad >= 2t-1 keeps every used index unwrapped.
+    ``n_bits`` is the roll-decomposition bit count.  The forward and
+    backward kernels must agree on both exactly (the shear indices shift
+    otherwise), which is why this lives in one place."""
+    p_pad = max(128, ((2 * t - 1 + 127) // 128) * 128)
+    n_bits = max(1, math.ceil(math.log2(t)))
+    return p_pad, n_bits
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     q = q_ref[0]                                   # [blk_q, d]
     k = k_ref[0]                                   # [T, d]
@@ -323,9 +345,8 @@ def _relpos_bwd_pallas(q_u, k, v, q_v, p_heads, do, valid, interpret):
     scale = 1.0 / math.sqrt(d)
     bh = b * h
     p_len = p_heads.shape[1]
-    p_pad = max(128, ((2 * t - 1 + 127) // 128) * 128)
+    p_pad, n_bits = _relpos_geometry(t)
     pp = jnp.pad(p_heads, ((0, 0), (0, p_pad - p_len), (0, 0)))
-    n_bits = max(1, math.ceil(math.log2(t)))
     qf, kf, vf, qvf, dof = (x.reshape(bh, t, d)
                             for x in (q_u, k, v, q_v, do))
     mask8 = valid.astype(jnp.int8)[:, None, :]
@@ -560,19 +581,11 @@ def _relpos_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, t, d = q_u.shape
-    # balance the q-blocks: for t just past a block boundary (e.g. T'=750
-    # with block_q=512) a naive clamp leaves the last block mostly padding
-    # (512+238 -> 53% waste); instead split t evenly into the same number of
-    # blocks, rounded up to the 128-sublane tile (750 -> 2 x 384, 2% waste)
-    n_q = max(1, -(-t // block_q))
-    block_q = max(128, (-(-t // n_q) + 127) // 128 * 128)
+    block_q = _balanced_block_q(t, block_q)
     scale = 1.0 / math.sqrt(d)
     bh = b * h
-    # lane-align the position axis; rolls in the kernel are cyclic mod p_pad
-    # and p_pad >= 2t-1 keeps every used index unwrapped
-    p_pad = max(128, ((2 * t - 1 + 127) // 128) * 128)
+    p_pad, n_bits = _relpos_geometry(t)
     pp = jnp.pad(p_heads, ((0, 0), (0, p_pad - p_heads.shape[1]), (0, 0)))
-    n_bits = max(1, math.ceil(math.log2(t)))
     qf = q_u.reshape(bh, t, d)
     kf = k.reshape(bh, t, d)
     vf = v.reshape(bh, t, d)
@@ -702,14 +715,7 @@ def _mha_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, t, d = q.shape
-    # clamp the block to the lane-aligned sequence bound: a 512 block over a
-    # T'=250 sequence would matmul ~2x padded query rows for nothing
-    # balance the q-blocks: for t just past a block boundary (e.g. T'=750
-    # with block_q=512) a naive clamp leaves the last block mostly padding
-    # (512+238 -> 53% waste); instead split t evenly into the same number of
-    # blocks, rounded up to the 128-sublane tile (750 -> 2 x 384, 2% waste)
-    n_q = max(1, -(-t // block_q))
-    block_q = max(128, (-(-t // n_q) + 127) // 128 * 128)
+    block_q = _balanced_block_q(t, block_q)
     scale = 1.0 / math.sqrt(d)
     bh = b * h
     qf = q.reshape(bh, t, d)

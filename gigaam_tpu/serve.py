@@ -28,12 +28,10 @@ Usage: python -m gigaam_tpu.serve --model_name <artifact> --port 8000
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import queue
 import threading
 import time
-import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
 from urllib.parse import parse_qs, urlparse
@@ -72,12 +70,20 @@ class BatchingASRServer:
 
     def __init__(self, model: GigaAMASR, max_batch: int = 8,
                  batch_window_ms: float = 15.0, beam_size: int = 1,
-                 max_queue: int = 256):
+                 max_queue: int = 256, bucket_seconds: int = 5,
+                 longform_batch: int = 16):
         self.model = model
         self.max_batch = max_batch
         # server-wide (not per-request): mixed beam sizes would fragment
         # batches and multiply compiled graphs
         self.beam_size = beam_size
+        # serving pads durations to coarse buckets (default 5 s vs the
+        # offline path's 1 s): 25 reachable graphs per row count would take
+        # ~minutes each to cold-compile for the 220M models, while padded
+        # frames are masked out, so coarse buckets trade a little MXU work
+        # for a warmable graph set (5 shortform + 5 longform)
+        self.bucket_samples = int(bucket_seconds * SAMPLE_RATE)
+        self.longform_batch = longform_batch
         self.window = batch_window_ms / 1000.0
         # bounded: overload answers 503 immediately instead of growing the
         # queue without limit while clients time out anyway
@@ -90,19 +96,50 @@ class BatchingASRServer:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def warmup(self, seconds: List[int] = (5, 10, 20)) -> None:
-        """Pre-compile the bucket graphs so first requests aren't slow.
+    def _bucket_edges(self, max_seconds: float) -> List[int]:
+        """Serving bucket edge durations (seconds) up to ``max_seconds``."""
+        step = self.bucket_samples // SAMPLE_RATE
+        top = -(-int(max_seconds) // step) * step
+        return list(range(step, top + 1, step))
 
-        Compiles at the serving row count (``max_batch``): ``_process``
-        always pads request batches to it, so per duration bucket exactly
-        one graph exists."""
+    def warmup(self, seconds: Optional[List[int]] = None,
+               longform: bool = True) -> None:
+        """Pre-compile the serving graphs so first requests aren't slow.
+
+        With ``seconds=None``, warms *every* reachable graph: each shortform
+        bucket edge (``bucket_seconds`` .. 25 s) at ``max_batch`` rows —
+        ``_start`` always pads request batches to that row count, so per
+        duration bucket exactly one graph exists — and, when ``longform``,
+        each longform bucket edge at ``longform_batch`` rows (VAD chunks
+        aim for 22 s but a single unbroken speech region is only split
+        above strict_limit_duration=30 s, so 30 s is the true segment
+        cap).  An un-warmed graph means the first
+        request that hits it blocks the batch loop for a minutes-long
+        cold compile (220M models) while queued requests time out.
+
+        An explicit ``seconds`` list warms only those shortform durations
+        (plus the longform row count for the same durations)."""
         rng = np.random.default_rng(0)
-        for s in seconds:
+        if seconds is None:
+            short = self._bucket_edges(LONGFORM_THRESHOLD_SEC)
+            long = self._bucket_edges(30.0) if longform else []
+        else:
+            short = list(seconds)
+            long = list(seconds) if longform else []
+        for s in short:
             wav = (0.01 * rng.standard_normal(SAMPLE_RATE * s)
                    ).astype(np.float32)
-            self.model._decode_batch([wav] * self.max_batch,
-                                     word_timestamps=False,
-                                     beam_size=self.beam_size)
+            self.model._decode_batch([wav], word_timestamps=False,
+                                     beam_size=self.beam_size,
+                                     pad_rows_to=self.max_batch,
+                                     bucket=self.bucket_samples)
+        for s in long:
+            wav = (0.01 * rng.standard_normal(SAMPLE_RATE * s)
+                   ).astype(np.float32)
+            self.model._decode_batch([wav], word_timestamps=False,
+                                     beam_size=self.beam_size,
+                                     pad_rows_to=self.longform_batch,
+                                     bucket=self.bucket_samples)
 
     def submit(self, wav: np.ndarray, timestamps: bool,
                timeout: float = 120.0) -> _Request:
@@ -183,7 +220,8 @@ class BatchingASRServer:
             # any host-side decode work
             finalize = self.model._decode_batch_submit(
                 [r.wav for r in batch], word_timestamps=want_ts,
-                beam_size=self.beam_size, pad_rows_to=self.max_batch)
+                beam_size=self.beam_size, pad_rows_to=self.max_batch,
+                bucket=self.bucket_samples)
             return batch, finalize
         except Exception as exc:  # surface per-request, keep serving
             self._fail(batch, exc)
@@ -205,23 +243,8 @@ class BatchingASRServer:
         self._thread.join(timeout=2)
 
 
-def _parse_wav_bytes(body: bytes) -> np.ndarray:
-    with wave.open(io.BytesIO(body), "rb") as wf:
-        if wf.getsampwidth() != 2:
-            raise ValueError("only 16-bit PCM WAV supported")
-        sr = wf.getframerate()
-        data = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
-        if wf.getnchannels() > 1:
-            data = data.reshape(-1, wf.getnchannels()).mean(axis=1)
-    wav = data.astype(np.float32) / 32768.0
-    if sr != SAMPLE_RATE:
-        from .audio import resample
-
-        wav = resample(wav, sr, SAMPLE_RATE)
-    return wav
-
-
-def make_handler(server: BatchingASRServer):
+def make_handler(server: BatchingASRServer,
+                 max_body_bytes: int = 256 * 1024 * 1024):
     model_name = server.model.cfg.model_name
 
     class Handler(BaseHTTPRequestHandler):
@@ -249,13 +272,23 @@ def make_handler(server: BatchingASRServer):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                # cap before reading: a multi-GB Content-Length would be
+                # buffered whole (and expanded several-fold by json/float32)
+                # before any duration check, and ThreadingHTTPServer
+                # multiplies that per concurrent connection
+                if length > max_body_bytes:
+                    self._send(413, {
+                        "error": f"body larger than {max_body_bytes} bytes"})
+                    return
                 body = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
                 if "json" in ctype:
                     payload = json.loads(body)
                     wav = np.asarray(payload["audio"], dtype=np.float32)
                 else:
-                    wav = _parse_wav_bytes(body)
+                    from .audio import load_wav_bytes
+
+                    wav = load_wav_bytes(body)
             except Exception as exc:
                 self._send(400, {"error": f"bad request: {exc}"})
                 return
@@ -274,7 +307,9 @@ def make_handler(server: BatchingASRServer):
                 try:
                     res = server.model.transcribe_longform(
                         wav, word_timestamps=ts,
-                        beam_size=server.beam_size)
+                        fr_batch_size=server.longform_batch,
+                        beam_size=server.beam_size,
+                        bucket=server.bucket_samples)
                 except Exception as exc:
                     self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
                     return
@@ -306,7 +341,17 @@ def main(argv=None) -> None:
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--batch_window_ms", type=float, default=15.0)
-    ap.add_argument("--warmup_seconds", type=int, nargs="*", default=[5, 10])
+    ap.add_argument("--bucket_seconds", type=int, default=5,
+                    help="serving duration-bucket granularity (s); smaller "
+                         "= less padded compute, more graphs to warm")
+    ap.add_argument("--longform_batch", type=int, default=16,
+                    help="row count for longform VAD-chunk batches")
+    ap.add_argument("--warmup_seconds", type=int, nargs="*", default=None,
+                    help="explicit warmup durations; omit to warm every "
+                         "reachable bucket (recommended), pass no values "
+                         "to skip warmup")
+    ap.add_argument("--max_body_mb", type=int, default=256,
+                    help="reject request bodies larger than this (413)")
     ap.add_argument("--beam_size", type=int, default=1,
                     help="beam width (1 = greedy; RNNT on-device beam / CTC prefix beam)")
     args = ap.parse_args(argv)
@@ -316,11 +361,16 @@ def main(argv=None) -> None:
     model = gigaam_tpu.load_model(args.model_name)
     assert isinstance(model, GigaAMASR), "ASR model required"
     server = BatchingASRServer(model, args.max_batch, args.batch_window_ms,
-                               beam_size=args.beam_size)
-    if args.warmup_seconds:
-        print(f"warming up buckets {args.warmup_seconds}...")
+                               beam_size=args.beam_size,
+                               bucket_seconds=args.bucket_seconds,
+                               longform_batch=args.longform_batch)
+    if args.warmup_seconds is None or args.warmup_seconds:
+        print(f"warming up "
+              f"{args.warmup_seconds if args.warmup_seconds else 'all buckets'}...")
         server.warmup(args.warmup_seconds)
-    httpd = ASRHTTPServer((args.host, args.port), make_handler(server))
+    httpd = ASRHTTPServer((args.host, args.port),
+                          make_handler(server,
+                                       args.max_body_mb * 1024 * 1024))
     print(f"serving {model.cfg.model_name} on http://{args.host}:{args.port}")
     try:
         httpd.serve_forever()

@@ -82,3 +82,18 @@ def test_short_batch_matches_single(tiny_ctc_model):
     batched = [t for t, _ in tiny_ctc_model._decode_batch(wavs, False)]
     single = [tiny_ctc_model._decode_batch([w], False)[0][0] for w in wavs]
     assert batched == single
+
+
+def test_load_wav_bytes_matches_load_audio(tmp_path):
+    """In-memory decode (the HTTP server path) must equal file decode,
+    including the resample branch."""
+    from gigaam_tpu.audio import load_wav_bytes
+
+    rng = np.random.default_rng(3)
+    for sr in (SR, 8000):
+        wav = (0.3 * rng.standard_normal(sr)).astype(np.float32)
+        path = tmp_path / f"w{sr}.wav"
+        _write_wav(path, wav, sr)
+        from_file = load_audio(str(path))
+        from_bytes = load_wav_bytes(path.read_bytes())
+        np.testing.assert_array_equal(from_file, from_bytes)

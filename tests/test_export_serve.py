@@ -435,3 +435,114 @@ def test_client_routes_longform_files(tmp_path, http_server):
     out = transcribe_files(http_server, [short, long_p])
     assert "text" in out[0] and "segments" not in out[0]
     assert "segments" in out[1]
+
+
+# -- serving bucket coverage + request-body handling -------------------------
+
+
+def _wav_bytes(wav: np.ndarray, sr: int = 16000, sampwidth: int = 2) -> bytes:
+    """Encode a float waveform as PCM WAV bytes at the given sample width."""
+    import io
+    import wave
+
+    clipped = np.clip(wav, -1.0, 1.0)
+    if sampwidth == 2:
+        data = (clipped * 32767.0).astype("<i2").tobytes()
+    elif sampwidth == 3:
+        vals = (clipped * 8388607.0).astype("<i4")
+        data = vals.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    else:
+        raise ValueError(sampwidth)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(sr)
+        wf.writeframes(data)
+    return buf.getvalue()
+
+
+def _post_wav(url, body, path="/transcribe"):
+    req = urllib.request.Request(
+        url + path, data=body,
+        headers={"Content-Type": "audio/wav"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_server_wav_body_sample_widths(http_server):
+    """The HTTP body decode shares audio._decode_wav, so every sample width
+    load_audio accepts (incl. 24-bit) must work over the wire too — the old
+    server-local parser rejected everything but 16-bit."""
+    rng = np.random.default_rng(7)
+    wav = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+    for width in (2, 3):
+        status, out = _post_wav(http_server, _wav_bytes(wav, sampwidth=width))
+        assert status == 200 and "text" in out, (width, status, out)
+
+
+def test_server_body_size_cap(ctc_model):
+    """Bodies over max_body_bytes are rejected (413) before being read."""
+    server = BatchingASRServer(ctc_model, max_batch=2, batch_window_ms=5.0)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(server, max_body_bytes=1024))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        big = _wav_bytes(np.zeros(4000, np.float32))
+        status, out = _post_wav(url, big)
+        assert status == 413 and "larger" in out["error"]
+        small = _wav_bytes(np.zeros(400, np.float32))
+        status, out = _post_wav(url, small)
+        assert status == 200
+    finally:
+        httpd.shutdown()
+        server.shutdown()
+
+
+def test_warmup_covers_every_reachable_graph(ctc_model):
+    """Default warmup must pre-compile every (row-count, duration-bucket)
+    graph a request can route to: shortform bucket edges up to the 25 s cap
+    at max_batch rows, longform edges up to the 30 s VAD strict split cap
+    (an unbroken speech region is only split above strict_limit_duration)
+    at longform_batch rows — an unwarmed graph stalls the batch loop for a
+    cold compile on first hit."""
+    server = BatchingASRServer(ctc_model, max_batch=4, batch_window_ms=5.0,
+                               bucket_seconds=5, longform_batch=16)
+    orig = ctc_model._decode_batch
+    seen = []
+
+    def spy(wavs, word_timestamps, beam_size=1, pad_rows_to=0, bucket=0):
+        seen.append((pad_rows_to, bucket, max(len(w) for w in wavs)))
+        return [("", None)] * len(wavs)
+
+    try:
+        ctc_model._decode_batch = spy
+        server.warmup()
+        sr = 16000
+        assert all(b == 5 * sr for _, b, _ in seen)
+        got = {(rows, length // sr) for rows, _, length in seen}
+        short = {(4, s) for s in (5, 10, 15, 20, 25)}
+        long = {(16, s) for s in (5, 10, 15, 20, 25, 30)}
+        assert got == short | long, got
+    finally:
+        ctc_model._decode_batch = orig
+        server.shutdown()
+
+
+def test_bucket_coarsening_preserves_output(ctc_model):
+    """Serving's coarse duration buckets only add masked padding: the
+    transcript and word timings must equal the 1 s-bucket result."""
+    rng = np.random.default_rng(8)
+    wav = (0.1 * rng.standard_normal(int(1.5 * 16000))).astype(np.float32)
+    fine = ctc_model._decode_batch([wav], word_timestamps=True)
+    coarse = ctc_model._decode_batch([wav], word_timestamps=True,
+                                     bucket=5 * 16000)
+    assert fine[0][0] == coarse[0][0]
+    f_words = [(w.text, w.start, w.end) for w in (fine[0][1] or [])]
+    c_words = [(w.text, w.start, w.end) for w in (coarse[0][1] or [])]
+    assert f_words == c_words

@@ -69,6 +69,11 @@ def test_out_len_formula():
     )
     assert num_frames(16000, cfg_c) == 101
     assert num_frames(16000, cfg_n) == 98
+    # sub-window audio clamps at 0, never negative (center=False would
+    # otherwise give (100-400)//160+1 = -1)
+    np.testing.assert_array_equal(
+        np.asarray(out_len(jnp.asarray([100, 0, 399]), cfg_n)), [0, 0, 0]
+    )
 
 
 def test_hann_window_matches_torch():
