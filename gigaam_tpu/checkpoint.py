@@ -314,7 +314,9 @@ def config_from_reference(cfg: Dict[str, Any], model_name: str) -> ModelConfig:
 
     id2name = cfg.get("id2name")
     if id2name is not None and isinstance(id2name, dict):
-        id2name = [id2name[k] for k in sorted(id2name)]
+        # numeric order: lexicographic sort would put '10' before '2' for
+        # string keys, silently mislabeling classes past 9
+        id2name = [id2name[k] for k in sorted(id2name, key=lambda k: int(k))]
 
     return ModelConfig(
         model_name=model_name, model_class=model_class,
@@ -602,13 +604,18 @@ def convert_pyannote_vad(path: str, kernel_size: int = 251):
 
     n_filters = 2 * sd["sincnet.conv1d.0.filterbank.low_hz_"].shape[0]
     kernel = kernel_size
-    conv_keys = sorted(k for k in sd if k.startswith("sincnet.conv1d.")
-                       and k.endswith(".weight"))
+    def _mod_idx(k: str) -> int:
+        return int(k.split(".")[-2])
+
+    # numeric module order (lexicographic would put '10' before '2')
+    conv_keys = sorted((k for k in sd if k.startswith("sincnet.conv1d.")
+                        and k.endswith(".weight")), key=_mod_idx)
     n_conv_blocks = len(conv_keys)
     lstm_layers = len({k.split("weight_ih_l")[1].split("_reverse")[0]
                        for k in sd if "weight_ih_l" in k})
-    lin_keys = sorted(k for k in sd
-                      if k.startswith("linear.") and k.endswith(".weight"))
+    lin_keys = sorted((k for k in sd
+                       if k.startswith("linear.") and k.endswith(".weight")),
+                      key=_mod_idx)
     h = sd["lstm.weight_hh_l0"].shape[1]
 
     cfg = VADNetConfig(

@@ -176,10 +176,22 @@ class AudioDataset:
         Returns (wavs [B, L], wav_lens [B]) or
         (wavs, wav_lens, tokens [B, U], tok_lens [B]) when return_tokens.
         """
+        from .native import collate
+
         order = np.arange(len(self.samples))
+        rng = np.random.default_rng(seed) if shuffle else None
         if sort_by_duration:
             order = order[np.argsort([s.duration for s in self.samples],
                                      kind="stable")]
+            if shuffle and drop_last and len(order) % batch_size:
+                # drop a random remainder: blocks are cut from the sorted
+                # order, so skipping the ragged block would deterministically
+                # exclude the same longest samples every epoch
+                gone = rng.choice(len(order), size=len(order) % batch_size,
+                                  replace=False)
+                order = np.delete(order, gone)
+        elif shuffle:
+            rng.shuffle(order)
         # batches as index blocks: with sort_by_duration the blocks are cut
         # BEFORE any shuffle and iterated as units, so a ragged final block
         # can never misalign later batch boundaries and mix the longest
@@ -187,20 +199,12 @@ class AudioDataset:
         n_b = (len(order) + batch_size - 1) // batch_size
         blocks = [order[i * batch_size:(i + 1) * batch_size]
                   for i in range(n_b)]
-        if shuffle:
-            rng = np.random.default_rng(seed)
-            if sort_by_duration:
-                rng.shuffle(blocks)  # keep within-batch length affinity
-            else:
-                rng.shuffle(order)
-                blocks = [order[i * batch_size:(i + 1) * batch_size]
-                          for i in range(n_b)]
+        if shuffle and sort_by_duration:
+            rng.shuffle(blocks)  # keep within-batch length affinity
 
         for idx in blocks:
             if drop_last and len(idx) < batch_size:
                 continue
-            from .native import collate
-
             wavs = [self.load_wav(j) for j in idx]
             lens = np.array([len(w) for w in wavs], dtype=np.int32)
             max_len = int(np.ceil(max(1, lens.max()) / audio_bucket)
@@ -271,8 +275,13 @@ def prefetch_batches(it: Iterator, depth: int = 2) -> Iterator:
 
 
 def write_manifest(path: str, rows: List[Tuple[str, float, str]]) -> None:
-    """Write a TSV manifest (path, duration, transcription)."""
-    with open(path, "w") as f:
-        f.write("path\tduration\ttranscription\n")
+    """Write a TSV manifest (path, duration, transcription).
+
+    csv-quoted with the same dialect ``_load_manifest``'s DictReader parses,
+    so fields containing tabs, newlines, or quotes round-trip instead of
+    shifting columns."""
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t", lineterminator="\n")
+        w.writerow(["path", "duration", "transcription"])
         for p, d, t in rows:
-            f.write(f"{p}\t{d}\t{t}\n")
+            w.writerow([p, d, t])

@@ -116,13 +116,12 @@ class _ExportedBase:
     def _features(self, wavs: List[np.ndarray]):
         import jax.numpy as jnp
 
-        n = len(wavs)
-        max_len = max(len(w) for w in wavs)
-        batch = np.zeros((n, max_len), np.float32)
-        lens = np.zeros((n,), np.int32)
-        for i, w in enumerate(wavs):
-            batch[i, : len(w)] = w
-            lens[i] = len(w)
+        from .models.model import pad_wav_batch
+
+        # bucketed padding (1 s buckets, same as the live model): padding to
+        # the exact per-batch max would recompile the jitted frontend for
+        # nearly every distinct batch shape
+        batch, lens = pad_wav_batch(wavs)
         feats, feat_lens = self.frontend(jnp.asarray(batch),
                                          jnp.asarray(lens))
         feats = np.asarray(jnp.transpose(feats, (0, 2, 1)))  # [B, T, F]
@@ -155,8 +154,9 @@ class ExportedClassifier(_ExportedBase):
         encoded, enc_lens = g(pad, pad_lens)
         encoded = np.asarray(encoded)
         enc_lens = np.asarray(enc_lens)
-        # ssl embeddings, time-major [T', D] per item
-        return [encoded[i, : int(enc_lens[i])] for i in range(n)]
+        # ssl embeddings, time-major [T', D] per item; copied so a kept
+        # embedding doesn't pin the whole padded [gb, T', D] batch buffer
+        return [encoded[i, : int(enc_lens[i])].copy() for i in range(n)]
 
 
 class ExportedASR(_ExportedBase):
@@ -235,6 +235,7 @@ def infer_exported(
     """
     import json
     import os
+    import warnings
 
     from .audio import load_audio
 
@@ -242,20 +243,36 @@ def infer_exported(
     # here would deserialize every StableHLO graph a second time
     with open(os.path.join(artifact_dir, "export_manifest.json")) as f:
         model_class = json.load(f).get("model_class", "asr")
-    wavs = [it if isinstance(it, np.ndarray) else load_audio(str(it))
-            for it in items]
 
-    if model_class in ("ssl", "emo"):
-        clf = ExportedClassifier(artifact_dir)
-        results: List[np.ndarray] = []
-        for i in range(0, len(wavs), batch_size):
-            results.extend(clf.infer_batch(wavs[i: i + batch_size]))
+    def _load(it) -> np.ndarray:
+        return it if isinstance(it, np.ndarray) else load_audio(str(it))
+
+    runner = (ExportedClassifier(artifact_dir)
+              if model_class in ("ssl", "emo")
+              else ExportedASR(artifact_dir))
+    # clamp to the largest exported row bucket: chunking at a smaller batch
+    # keeps every item (unlike truncation) and still fails loudly inside
+    # _pick_graph if no bucket exists at all
+    kind = ("ctc" if "ctc" in runner.graphs
+            else "probs" if "probs" in runner.graphs else "encoder")
+    max_rows = max(g.meta["batch"] for g in runner.graphs[kind])
+    if batch_size > max_rows:
+        warnings.warn(f"batch_size={batch_size} exceeds the largest "
+                      f"exported bucket ({max_rows}); running at {max_rows}")
+        batch_size = max_rows
+
+    results: List = []
+    # audio decodes per mini-batch: loading the whole dataset up front would
+    # hold hours of float32 audio in RAM before the first batch runs
+    for i in range(0, len(items), batch_size):
+        wavs = [_load(it) for it in items[i: i + batch_size]]
+        if isinstance(runner, ExportedClassifier):
+            results.extend(runner.infer_batch(wavs))
+        else:
+            results.extend(runner.transcribe_batch(wavs))
+    if isinstance(runner, ExportedClassifier):
         return {"hypotheses": results}
-
-    asr = ExportedASR(artifact_dir)
-    hyps: List[str] = []
-    for i in range(0, len(wavs), batch_size):
-        hyps.extend(asr.transcribe_batch(wavs[i: i + batch_size]))
+    hyps: List[str] = results
     out: Dict[str, object] = {"hypotheses": hyps}
     if refs is not None:
         from .metrics import compute_wer

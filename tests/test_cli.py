@@ -201,3 +201,36 @@ def test_experiment_name_derivation():
                        "--train_manifest", "t", "--val_manifest", "v"])
     assert " " not in experiment_name(args)
     assert "!" not in experiment_name(args)
+
+
+def test_manifest_roundtrip_escaping(tmp_path):
+    """Fields with tabs/newlines/quotes must survive the TSV round-trip
+    (write_manifest and the loader share one csv dialect)."""
+    rows = [("/a/b.wav", 1.5, "text with\ttab"),
+            ("/a/c.wav", 2.0, 'starts "quoted" and\nhas a newline'),
+            ("/a/d.wav", 0.5, "plain")]
+    path = str(tmp_path / "m.tsv")
+    write_manifest(path, rows)
+    ds = AudioDataset(path, raw_text=True)
+    assert len(ds) == 3
+    # normalize_text(raw) lowercases/strips; compare loosely on content
+    texts = {s.text for s in ds.samples}
+    assert any("tab" in t for t in texts)
+    assert any("newline" in t for t in texts)
+    durs = sorted(s.duration for s in ds.samples)
+    assert durs == [0.5, 1.5, 2.0]
+
+
+def test_sorted_drop_last_rotates_remainder(dataset_dir):
+    """sort_by_duration + shuffle + drop_last must not deterministically
+    exclude the longest samples: across seeds, every sample appears."""
+    _, manifest = dataset_dir
+    ds = AudioDataset(manifest)  # 4 samples; batch 3 -> remainder 1
+    seen_lens = set()
+    for seed in range(8):
+        for wavs, lens in ds.batches(3, shuffle=True, seed=seed,
+                                     sort_by_duration=True, drop_last=True):
+            assert len(lens) == 3
+            seen_lens.update(int(x) for x in lens)
+    # all 4 distinct durations must show up across epochs
+    assert len(seen_lens) == 4, seen_lens

@@ -303,9 +303,16 @@ def test_infer_exported_wer_and_buckets(tmp_path, ctc_model):
     res = infer_exported(out, wavs, refs=hyps)
     assert res["wer_e2e"] == 0.0
 
-    # a batch bigger than any exported bucket must fail loudly, not truncate
+    # a batch_size above the largest exported row bucket clamps (with a
+    # warning) and still transcribes every item — no silent truncation
+    with pytest.warns(UserWarning, match="largest"):
+        res4 = infer_exported(out, wavs * 2, batch_size=4)
+    assert res4["hypotheses"] == hyps * 2
+
+    # audio longer than any exported duration bucket must still fail loudly
+    long_wav = (0.1 * rng.standard_normal(3 * 16000)).astype(np.float32)
     with pytest.raises(ValueError):
-        infer_exported(out, wavs * 2, batch_size=4)
+        infer_exported(out, [long_wav], batch_size=2)
 
 
 # -- HTTP client (reference run_client.py analogue) --------------------------
