@@ -257,18 +257,24 @@ def sliding_class_probs(
         starts = list(range(0, len(wav) - win + step, step))
 
     frames_per_win = cfg.num_frames(win)
-    # pad the window batch to a multiple of 8: otherwise every distinct
-    # window count (i.e. every distinct audio duration) recompiles the
-    # BiLSTM net; surplus windows are dropped below
+    # classify in bounded mega-batches: materializing EVERY window of a
+    # multi-hour recording at once would build a GB-scale host buffer and
+    # device call (3 h ~= 2160 windows ~= 1.4 GB fp32).  Chunks pad to a
+    # multiple of 8 so the set of compiled graphs stays small (8..64 rows)
+    # while memory stays O(mega) regardless of recording length.
     n_win = len(starts)
-    n_pad = -n_win % 8
-    windows = np.zeros((n_win + n_pad, win), dtype=np.float32)
-    for i, s in enumerate(starts):
-        seg = wav[s:s + win]
-        windows[i, :len(seg)] = seg
-
-    probs = np.asarray(_window_probs(params, jnp.asarray(windows), cfg))
-    probs = probs[:n_win]
+    mega = 64
+    probs_parts = []
+    for c0 in range(0, n_win, mega):
+        chunk = starts[c0:c0 + mega]
+        n_pad = -len(chunk) % 8
+        windows = np.zeros((len(chunk) + n_pad, win), dtype=np.float32)
+        for i, s in enumerate(chunk):
+            seg = wav[s:s + win]
+            windows[i, :len(seg)] = seg
+        p = np.asarray(_window_probs(params, jnp.asarray(windows), cfg))
+        probs_parts.append(p[:len(chunk)])
+    probs = np.concatenate(probs_parts, axis=0)
 
     n_frames = (starts[-1] // rf_s) + frames_per_win
     acc = np.zeros((n_frames, probs.shape[-1]), dtype=np.float64)

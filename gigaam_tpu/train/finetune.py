@@ -163,7 +163,7 @@ class FineTuner:
         self.opt_state = self.optimizer.init(params)
         self.step = 0
         self._train_step_jit = self._build_train_step()
-        self._eval_loss_jit = jax.jit(self._loss_eval)
+        self._eval_loss_jit = self._build_eval_step()
 
     def _build_optimizer(self, params, tc: TrainConfig):
         adamw, schedule = make_optimizer(tc)
@@ -265,6 +265,17 @@ class FineTuner:
             out_shardings=(param_sh, None, repl, repl),
         )
 
+    def _build_eval_step(self):
+        if self.mesh is None:
+            return jax.jit(self._loss_eval)
+        # same input shardings as the train step: without them, validation
+        # under a mesh feeds single-device batches against mesh-sharded
+        # params (a crash on multi-host, a layout reshuffle on one host)
+        param_sh = to_named(self.mesh, self.pspecs)
+        batch_sh = NamedSharding(self.mesh, batch_pspec())
+        return jax.jit(self._loss_eval,
+                       in_shardings=(param_sh, (batch_sh,) * 4))
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
@@ -285,8 +296,11 @@ class FineTuner:
             "loss": loss,
             "grad_norm": grad_norm,
             # host-computed twin of the optax schedule: float(schedule(...))
-            # would itself be a device round trip every step
-            "lr": self._host_lr(opt_steps),
+            # would itself be a device round trip every step.  The N-th
+            # optimizer update applies schedule(N-1) (optax evaluates the
+            # schedule BEFORE incrementing its count), so report the lr the
+            # step just applied, not the next one
+            "lr": self._host_lr(max(0, opt_steps - 1)),
         }
 
     # ------------------------------------------------------------------
@@ -365,11 +379,24 @@ class FineTuner:
         if self.mesh is not None:
             params = shard_params(jax.tree.map(jnp.asarray, params),
                                   self.mesh, self.pspecs)
+            # optimizer leaves (mu/nu mirror the param tree) must come back
+            # with the mesh shardings optimizer.init gave them — plain
+            # asarray would leave them single-device against mesh-sharded
+            # params, losing TP sharding of the moments and breaking
+            # multi-host.  Scalar counts stay uncommitted (device_put would
+            # pin them to one device and conflict inside the jitted step).
+            live = jax.tree_util.tree_leaves(self.opt_state)
+            opt_leaves = [
+                jax.device_put(np.asarray(leaf), l.sharding)
+                if isinstance(l.sharding, NamedSharding)
+                else jnp.asarray(leaf)
+                for leaf, l in zip(opt_leaves, live)
+            ]
         else:
             params = jax.tree.map(jnp.asarray, params)
+            opt_leaves = [jnp.asarray(leaf) for leaf in opt_leaves]
         self.params = params
-        self.opt_state = jax.tree_util.tree_unflatten(
-            treedef, [jnp.asarray(leaf) for leaf in opt_leaves])
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
         self.step = int(meta["step"])
         self.sync_model()
 

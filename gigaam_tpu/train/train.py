@@ -71,7 +71,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "'auto' derives a name from the hyperparameters "
                         "(reference build_exp_name, "
                         "train_utils/utils.py:168-218)")
-    p.add_argument("--save_top_k", type=int, default=1)
+    p.add_argument("--save_top_k", type=int, default=1,
+                   help="best-val_wer checkpoints to keep; 0 = none, "
+                        "-1 = keep all (Lightning convention)")
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--initial_validation", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -146,8 +148,10 @@ def experiment_name(args) -> str:
 
 
 class TopKKeeper:
-    """Keep the k best (lowest val_wer) checkpoints on disk
-    (reference ModelCheckpoint top-k, ``train.py:157-163``)."""
+    """Keep the k best (lowest val_wer) checkpoints on disk.
+
+    Lightning ModelCheckpoint semantics (reference ``train.py:157-163``):
+    ``k == 0`` disables checkpointing, ``k < 0`` keeps every checkpoint."""
 
     def __init__(self, save_dir: str, k: int):
         self.save_dir = save_dir
@@ -155,13 +159,16 @@ class TopKKeeper:
         self.kept: List[Tuple[float, str]] = []
 
     def submit(self, wer: float, step: int, save_fn) -> Optional[str]:
+        if self.k == 0:
+            return None
         path = os.path.join(self.save_dir,
                             f"step{step:07d}-wer{wer:.4f}.ckpt")
-        if len(self.kept) < self.k or wer < max(w for w, _ in self.kept):
+        if (self.k < 0 or len(self.kept) < self.k
+                or wer < max(w for w, _ in self.kept)):
             save_fn(path)
             self.kept.append((wer, path))
             self.kept.sort()
-            while len(self.kept) > self.k:
+            while self.k > 0 and len(self.kept) > self.k:
                 _, worst = self.kept.pop()
                 if os.path.exists(worst):
                     os.remove(worst)
@@ -177,7 +184,7 @@ def run_validation(ft, val_ds, batch_size: int,
     across devices, no explicit all_reduce needed).  ``first_batches``
     caps validation to the first N batches (reference
     ``--val_first_batches``)."""
-    tot_loss, n_batches = 0.0, 0
+    tot_loss, n_batches, n_rows = 0.0, 0, 0
     errors = words = 0
     for batch in val_ds.batches(batch_size, sort_by_duration=True):
         if first_batches is not None and n_batches >= first_batches:
@@ -186,9 +193,13 @@ def run_validation(ft, val_ds, batch_size: int,
         e, w = ft.batch_wer(hyps, batch[2], batch[3])
         errors += e
         words += w
-        tot_loss += loss
+        # weight per-batch mean losses by row count: an unweighted mean
+        # would give the ragged final batch's few samples outsized weight
+        rows = len(batch[1])
+        tot_loss += loss * rows
+        n_rows += rows
         n_batches += 1
-    return tot_loss / max(n_batches, 1), errors / max(words, 1)
+    return tot_loss / max(n_rows, 1), errors / max(words, 1)
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -300,7 +311,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             steps_this_epoch += 1
             key, sub = jax.random.split(key)
             m = ft.train_step(batch, sub)
-            if ft.step % args.log_every_n_steps == 0:
+            if (args.log_every_n_steps
+                    and ft.step % args.log_every_n_steps == 0):
                 # metrics arrive as device scalars; sync only on log cadence
                 m = {k: float(v) for k, v in m.items()}
                 print(f"step {ft.step}/{max_steps} loss={m['loss']:.4f} "

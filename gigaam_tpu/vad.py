@@ -199,8 +199,20 @@ def segment_audio_file(
     """
     audio = (wav_file if isinstance(wav_file, np.ndarray)
              else load_audio(wav_file, sr))
-    detector = (speech_regions_fn or _discover_neural_vad()
-                or (lambda w: energy_speech_regions(w, sr)))
+    detector = speech_regions_fn
+    if detector is None:
+        neural = _discover_neural_vad()
+        if neural is not None and sr != SAMPLE_RATE:
+            # the converted net is trained at 16 kHz: feed it a resampled
+            # copy for detection only — region times are in seconds, so the
+            # chunk slicing below stays on the caller's rate
+            from .audio import resample
+
+            detector = (lambda w: neural(resample(w, sr, SAMPLE_RATE)))
+        else:
+            detector = neural
+    if detector is None:
+        detector = (lambda w: energy_speech_regions(w, sr))
     regions = detector(audio)
     chunks = merge_regions_into_chunks(
         regions, len(audio) / sr,

@@ -308,3 +308,68 @@ def test_host_lr_schedule_matches_optax():
             # relative to the PEAK lr, not the near-zero point value
             np.testing.assert_allclose(host(step), float(sched(step)),
                                        rtol=1e-4, atol=tc.lr * 1e-6)
+
+
+def test_topk_keeper_disable_and_keep_all(tmp_path):
+    """Lightning save_top_k semantics: 0 = never save, -1 = keep all."""
+    import os
+
+    from gigaam_tpu.train.train import TopKKeeper
+
+    def save(path):
+        with open(path, "w") as f:
+            f.write("x")
+
+    k0 = TopKKeeper(str(tmp_path), 0)
+    assert k0.submit(0.5, 1, save) is None
+    assert not list(tmp_path.iterdir())
+
+    ka = TopKKeeper(str(tmp_path), -1)
+    paths = [ka.submit(w, i, save) for i, w in enumerate([0.5, 0.9, 0.7])]
+    assert all(p is not None and os.path.exists(p) for p in paths)
+
+
+def test_reported_lr_is_applied_lr():
+    """train_step must log the lr the optimizer update just applied —
+    optax evaluates the schedule BEFORE incrementing its count, so update
+    N applies schedule(N-1)."""
+    from gigaam_tpu.train.finetune import host_lr_schedule
+
+    model = GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+    tc = TrainConfig(lr=1e-3, total_steps=10, warmup_ratio=0.5,
+                     precision="fp32")
+    ft = FineTuner(model, tc)
+    host = host_lr_schedule(tc)
+    m1 = ft.train_step(synth_batch(), jax.random.PRNGKey(0))
+    assert m1["lr"] == host(0) == 0.0  # warmup ramp starts at 0
+    m2 = ft.train_step(synth_batch(), jax.random.PRNGKey(1))
+    assert m2["lr"] == host(1)
+
+
+def test_sharded_restore_preserves_opt_shardings(tmp_path):
+    """Resuming under a mesh must put optimizer moments back with the same
+    shardings optimizer.init gave them (TP-sharded mu/nu, not
+    single-device copies)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=4, model=2)
+    tc = TrainConfig(lr=1e-3, total_steps=10, precision="fp32")
+
+    model_a = GigaAMASR(tiny_cfg("ctc"), seed=7, compute_dtype=jnp.float32)
+    ft = FineTuner(model_a, tc, mesh=mesh)
+    ft.train_step(synth_batch(b=4, seed=8), jax.random.PRNGKey(0))
+    path = str(tmp_path / "mesh.ckpt")
+    ft.save_checkpoint(path)
+
+    model_b = GigaAMASR(tiny_cfg("ctc"), seed=9, compute_dtype=jnp.float32)
+    ft2 = FineTuner(model_b, tc, mesh=mesh)
+    init_sh = [l.sharding for l in jax.tree_util.tree_leaves(ft2.opt_state)]
+    ft2.restore_checkpoint(path)
+    rest_sh = [l.sharding for l in jax.tree_util.tree_leaves(ft2.opt_state)]
+    assert rest_sh == init_sh
+    # restored params/opt_state feed straight into the sharded step
+    m = ft2.train_step(synth_batch(b=4, seed=8), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    # eval under the mesh uses the sharded jit too
+    loss, hyps = ft2.eval_step(synth_batch(b=4, seed=8))
+    assert np.isfinite(loss) and len(hyps) == 4

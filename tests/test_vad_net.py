@@ -336,3 +336,23 @@ def test_corrupt_vad_artifact_falls_back_to_energy(tmp_path, monkeypatch):
     wav[SR // 2: SR // 2 + SR] = (0.4 * np.sin(2 * np.pi * 440 * t))
     segs, bounds = vad.segment_audio_file(wav)
     assert len(bounds) == 1
+
+
+def test_sliding_chunked_megabatches_long_wav():
+    """>64 windows crosses the bounded mega-batch boundary; results must be
+    identical to any other batching (per-window net + overlap average)."""
+    params = init_vad_params(jax.random.PRNGKey(4), TINY)
+    rng = np.random.default_rng(4)
+    wav = (0.1 * rng.standard_normal(18 * SR)).astype(np.float32)
+    n_windows = len(range(0, len(wav) - int(TINY.window_s * SR) + 1,
+                          int(TINY.step_s * SR)))
+    assert n_windows > 64  # crosses at least one chunk boundary
+    probs, times = sliding_class_probs(params, TINY, wav)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+    assert (np.diff(times) > 0).all()
+    # prefix invariance: frames whose covering windows lie fully inside a
+    # 6 s prefix see identical inputs, so chunking cannot change them
+    p6, t6 = sliding_class_probs(params, TINY, wav[: 6 * SR])
+    k = int(np.searchsorted(t6, 6.0 - 2 * TINY.window_s))
+    assert k > 0
+    np.testing.assert_allclose(probs[:k], p6[:k], atol=1e-5)
