@@ -21,6 +21,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from .audio import load_audio
+from .config import SAMPLE_RATE
 
 
 def _wav_bytes(wav: np.ndarray) -> bytes:
@@ -36,7 +37,9 @@ def _wav_bytes(wav: np.ndarray) -> bytes:
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
         wf.setsampwidth(2)
-        wf.setframerate(16000)
+        # load_audio resampled to SAMPLE_RATE; stamping anything else would
+        # make the server's header-driven resample replay at the wrong speed
+        wf.setframerate(SAMPLE_RATE)
         wf.writeframes(pcm.tobytes())
     return buf.getvalue()
 
@@ -63,10 +66,15 @@ def transcribe_one(
     wav: np.ndarray,
     timestamps: bool = False,
     timeout: float = 120.0,
+    as_wav: bool = True,
 ) -> Dict:
-    """POST one utterance (float32 @ 16 kHz) -> response dict."""
+    """POST one utterance (float32 @ 16 kHz) -> response dict.
+
+    Ships 16-bit WAV bytes by default (~1/10 the JSON size; exact for
+    16-bit-sourced audio); ``as_wav=False`` sends the lossless JSON float
+    list for synthetic/float-precision inputs."""
     return _post_audio(url, "/transcribe", wav, timestamps, timeout,
-                       as_wav=False)
+                       as_wav=as_wav)
 
 
 def transcribe_longform(
@@ -94,18 +102,21 @@ def transcribe_files(
     Files longer than the 25 s shortform cap route to the longform
     endpoint automatically.  ``timeout`` applies per request, verbatim —
     size it for the longest file."""
-    from .config import LONGFORM_THRESHOLD_SEC, SAMPLE_RATE
+    from .config import LONGFORM_THRESHOLD_SEC
 
-    wavs = [load_audio(f) for f in files]
     cap = LONGFORM_THRESHOLD_SEC * SAMPLE_RATE
 
-    def one(w):
+    def one(f):
+        # decode inside the worker: loading every file up front would hold
+        # the whole corpus as float32 in RAM (an hour is ~230 MB) and
+        # serialize all decoding before the first request goes out
+        w = load_audio(f)
         if len(w) > cap:
             return transcribe_longform(url, w, timestamps, timeout)
         return transcribe_one(url, w, timestamps, timeout)
 
     with cf.ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
-        futs = [pool.submit(one, w) for w in wavs]
+        futs = [pool.submit(one, f) for f in files]
         return [f.result() for f in futs]
 
 

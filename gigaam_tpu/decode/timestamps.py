@@ -51,6 +51,8 @@ def frames_to_words(
 
     for token_id, frame in zip(token_ids, token_frames):
         char = tokenizer.id_to_str(token_id)
+        if not char:  # control/unused piece: decode drops it from the text
+            continue
         if char.startswith(_WORD_BOUNDARY):
             commit()
             char = char[1:]

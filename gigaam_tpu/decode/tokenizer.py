@@ -88,7 +88,7 @@ def parse_sp_model(path: str) -> List[Tuple[str, float, int]]:
                 pos += ln
             else:
                 pos = _skip_field(buf, pos, wire)
-    except (IndexError, ValueError, UnicodeDecodeError) as exc:
+    except (IndexError, ValueError, UnicodeDecodeError, struct.error) as exc:
         # truncated/corrupt file: surface a diagnosable error instead of a
         # bare parser traceback
         raise ValueError(
@@ -192,6 +192,15 @@ class Tokenizer:
         return len(self.vocab) if self.charwise else len(self.model)
 
     def id_to_str(self, token_id: int) -> str:
+        """Display text for one token, consistent with ``decode``: control/
+        unused pieces render as '' (decode skips them) and unknown as the
+        same '⁇' glyph decode emits — raw pieces like '<s>'/'<unk>' must
+        never leak into word timestamps when decode drops/rewrites them."""
         if self.charwise:
             return self.vocab[token_id]
-        return self.model.id_to_piece(token_id)
+        piece, _, ptype = self.model.pieces[token_id]
+        if ptype in (_TYPE_CONTROL, _TYPE_UNUSED):
+            return ""
+        if ptype == _TYPE_UNKNOWN:
+            return "⁇"
+        return piece

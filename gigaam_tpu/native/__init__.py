@@ -20,32 +20,68 @@ _DIR = os.path.dirname(__file__)
 _SO = os.path.join(_DIR, "_native.so")
 _SRC = os.path.join(_DIR, "native.cpp")
 
+import threading
+
 _lib: Optional[ctypes.CDLL] = None
+_load_failed = False  # one attempt per process: no g++ respawn per call
+_load_lock = threading.Lock()
 
 
 def _build() -> bool:
+    # compile to a pid-unique temp and rename into place: a direct -o to
+    # the final path lets concurrent builders (server threads, parallel
+    # test workers, pod processes) interleave linker writes, and an
+    # interrupted build leaves a corrupt .so whose fresh mtime suppresses
+    # every future rebuild.  os.replace is atomic on POSIX.
+    tmp = f"{_SO}.build.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
     if _lib is not None:
+        return _lib
+    if _load_failed:
+        return None
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
         return _lib
     if not os.path.exists(_SO) or (
             os.path.exists(_SRC)
             and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
         if not _build():
+            _load_failed = True
             return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
-        return None
+        # a stale/corrupt artifact (e.g. from an older interrupted build):
+        # rebuild once through the temp+rename path before giving up
+        if not _build():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _load_failed = True
+            return None
 
     lib.s16_to_f32.argtypes = [
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float),

@@ -2,6 +2,7 @@
 reimplementation of the reference label-loop, tokenizer, timestamps."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -147,3 +148,51 @@ def test_frames_to_words_charwise():
     np.testing.assert_allclose(words[0].end, 6 * shift, atol=1e-9)
     np.testing.assert_allclose(words[1].start, 8 * shift, atol=1e-9)
     np.testing.assert_allclose(words[1].end, 11 * shift, atol=1e-9)
+
+
+def test_sp_id_to_str_consistent_with_decode(tmp_path):
+    """Control pieces render as '' and unk as the same glyph decode emits —
+    raw '<s>'/'<unk>' must not leak into word timestamps."""
+    from test_export_serve import _write_tiny_sp_model
+
+    from gigaam_tpu.decode.timestamps import frames_to_words
+
+    path = str(tmp_path / "tok.model")
+    # types: 1=normal, 2=unknown, 3=control
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3),
+              ("▁аб", -0.5, 1), ("ва", -0.7, 1)]
+    _write_tiny_sp_model(path, pieces)
+    tok = Tokenizer([], path)
+    assert tok.id_to_str(1) == "" and tok.id_to_str(2) == ""
+    assert tok.id_to_str(0) == "⁇"
+    assert tok.id_to_str(3) == "▁аб"
+
+    # control tokens contribute neither text nor frames to words
+    ids, frames = [1, 3, 4, 2], [0, 1, 2, 3]
+    words = frames_to_words(tok, ids, frames, frame_shift=0.1)
+    assert [w.text for w in words] == ["абва"]
+    assert words[0].start == pytest.approx(0.1)
+    assert words[0].end == pytest.approx(0.3)
+    # decode agrees: controls dropped from the transcript too
+    assert tok.decode(ids) == "абва"
+
+
+def test_parse_sp_model_truncated_mid_float(tmp_path):
+    """A file cut inside a score float must surface as a diagnosable
+    ValueError, not a bare struct.error."""
+    from test_export_serve import _write_tiny_sp_model
+
+    from gigaam_tpu.decode.tokenizer import parse_sp_model
+
+    path = str(tmp_path / "tok.model")
+    _write_tiny_sp_model(path, [("▁аб", -0.5, 1)])
+    blob = open(path, "rb").read()
+    # cut 2 bytes into the trailing float field; shrink BOTH length
+    # prefixes (outer piece message + inner) so the parser reaches the
+    # truncated float instead of failing the outer slice first
+    cut = blob[:-5]
+    bad = str(tmp_path / "bad.model")
+    with open(bad, "wb") as f:
+        f.write(bytes([cut[0], cut[1] - 5]) + cut[2:])
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        parse_sp_model(bad)

@@ -84,3 +84,47 @@ def test_collate_matches_numpy():
     for i, r in enumerate(rows):
         ref[i, : len(r)] = r
     np.testing.assert_array_equal(got, ref)
+
+
+def test_corrupt_so_rebuilds_once(tmp_path, monkeypatch):
+    """A corrupt _native.so (e.g. an old interrupted build) must be rebuilt
+    through the temp+rename path, not trusted forever on mtime.  Runs
+    against a tmp copy: clobbering the real (dlopen-mapped) file in place
+    would corrupt the live mapping."""
+    import os
+    import time
+
+    so = str(tmp_path / "_native.so")
+    with open(so, "wb") as f:
+        f.write(b"not an elf file")
+    # future mtime: only the CDLL-failure path may trigger the rebuild
+    t = time.time() + 1e6
+    os.utime(so, (t, t))
+    monkeypatch.setattr(native, "_SO", so)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_failed", False)
+    assert native._load() is not None, "corrupt .so should trigger a rebuild"
+    with open(so, "rb") as f:
+        assert f.read(4) != b"not "
+
+
+def test_failed_build_cached(monkeypatch, tmp_path):
+    """When the compiler is unavailable, only ONE build attempt happens per
+    process — per-call g++ respawns would turn a WER loop into hours."""
+    import subprocess as sp
+
+    calls = []
+    orig_run = sp.run
+
+    def counting_run(*a, **kw):
+        calls.append(1)
+        raise FileNotFoundError("g++ gone")
+
+    monkeypatch.setattr(native.subprocess, "run", counting_run)
+    monkeypatch.setattr(native, "_SO", str(tmp_path / "absent.so"))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_failed", False)
+    assert native._load() is None
+    assert native._load() is None
+    assert native._load() is None
+    assert len(calls) == 1, calls
