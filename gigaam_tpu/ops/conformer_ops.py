@@ -224,7 +224,9 @@ def striding_subsampling_conv2d(
     b, t, f, c = x.shape
     x = x.transpose(0, 1, 3, 2).reshape(b, t, c * f)     # channel-major flatten
     out = linear(p["out"], x)
-    return out, subsampled_length(lengths, num_stages, kernel_size)
+    # cur_len IS subsampled_length(lengths, num_stages): return the value
+    # the masks used, so masking and reported lengths cannot drift apart
+    return out, cur_len
 
 
 def striding_subsampling_conv1d(
@@ -249,4 +251,4 @@ def striding_subsampling_conv1d(
         x = jax.nn.relu(x)
         cur_len = subsampled_length(cur_len, 1, kernel_size)
         x = _mask_time(x, cur_len)
-    return x, subsampled_length(lengths, num_stages, kernel_size)
+    return x, cur_len

@@ -21,10 +21,14 @@ def _mask_axis(
     k1, k2 = jax.random.split(key)
     # torchaudio truncates the sampled floats to integers
     # (mask_along_axis_iid: ``value.long()`` / ``min_value.long()``), so
-    # exactly floor(width) bins mask starting at an integer offset —
-    # fractional comparisons would shift the masked-bin count distribution
-    width = jnp.floor(jax.random.uniform(k1, (b,)) * max_width)   # [B]
-    start = jnp.floor(jax.random.uniform(k2, (b,)) * (axis_size - width))
+    # exactly floor(width) bins mask starting at an integer offset; the
+    # start range uses the UN-truncated float width (min_value is drawn
+    # over [0, size - value) before .long()), so both floors happen after
+    # the draws — flooring width first would widen the start range by up
+    # to one bin whenever the width has a fractional part
+    width_f = jax.random.uniform(k1, (b,)) * max_width            # [B]
+    width = jnp.floor(width_f)
+    start = jnp.floor(jax.random.uniform(k2, (b,)) * (axis_size - width_f))
     idx = jnp.arange(axis_size)[None, :]                    # [1, S]
     mask = (idx >= start[:, None]) & (idx < (start + width)[:, None])
     shape = [b, 1, 1]

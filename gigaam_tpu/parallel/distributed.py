@@ -42,6 +42,15 @@ def initialize(coordinator_address: Optional[str] = None,
     if jax.distributed.is_initialized():
         return
     if coordinator_address is None and not _env_configured():
+        if (num_processes or 0) > 1 or process_id is not None:
+            # the caller explicitly asked for a multi-process run; silently
+            # proceeding single-process would duplicate work on every host
+            # with a wrong global batch and no error anywhere
+            raise ValueError(
+                "initialize(num_processes=..., process_id=...) needs a "
+                "coordinator: pass coordinator_address or set "
+                "JAX_COORDINATOR_ADDRESS (no multi-process setup is "
+                "discoverable in this environment)")
         return  # single-host: nothing to bootstrap
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -71,16 +80,36 @@ def _env_configured() -> bool:
     return False
 
 
-def process_shard(items: Sequence[T]) -> List[T]:
+def process_shard(items: Sequence[T], pad: bool = False) -> List[T]:
     """Host-local slice of a global work list (round-robin by process).
 
-    For data-parallel longform inference across hosts: each host loads and
-    decodes only its share of VAD segments; results are reassembled by
-    index (``process_shard_indices``)."""
-    return [x for i, x in enumerate(items)
-            if i % jax.process_count() == jax.process_index()]
+    For data-parallel inference across hosts with a HOST-LOCAL mesh
+    (``make_mesh(..., devices=jax.local_devices())``): each host loads and
+    decodes only its share; results are reassembled by index
+    (``process_shard_indices``).
+
+    With a GLOBAL mesh, every dispatch is a collective program all hosts
+    must join, so unequal per-host item counts deadlock the host with more
+    items.  Pass ``pad=True`` there: the final item is repeated until every
+    host holds exactly ceil(n/p) items (all hosts then issue the same
+    number of dispatches); drop the duplicate results via
+    ``process_shard_indices(n, pad=True)``."""
+    p, r = jax.process_count(), jax.process_index()
+    mine = [x for i, x in enumerate(items) if i % p == r]
+    if pad and items:
+        target = -(-len(items) // p)
+        while len(mine) < target:
+            mine.append(mine[-1] if mine else items[-1])
+    return mine
 
 
-def process_shard_indices(n: int) -> List[int]:
-    return [i for i in range(n)
-            if i % jax.process_count() == jax.process_index()]
+def process_shard_indices(n: int, pad: bool = False) -> List[int]:
+    """Global indices of this host's ``process_shard`` items (padded
+    duplicates repeat the final index, marking results to drop)."""
+    p, r = jax.process_count(), jax.process_index()
+    mine = [i for i in range(n) if i % p == r]
+    if pad and n:
+        target = -(-n // p)
+        while len(mine) < target:
+            mine.append(mine[-1] if mine else n - 1)
+    return mine

@@ -21,6 +21,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _perturb_delta(i, dtype):
+    """Per-iteration input perturbation that survives the dtype.
+
+    For floats 1e-7*i is numerically negligible but defeats loop-invariant
+    motion; for integer args (token ids, lengths) that value would truncate
+    to 0 and silently disable the defense — alternate +0/+1 instead."""
+    if jnp.issubdtype(dtype, jnp.inexact):
+        return jnp.asarray(1e-7, dtype) * i.astype(dtype)
+    return (i % 2).astype(dtype)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax.profiler trace into ``log_dir`` (view with xprof)."""
@@ -58,18 +69,26 @@ def device_timeit(
     def run_k(*a):
         if chain:
             def body(i, carry):
+                x, acc = carry
                 aa = list(a)
-                aa[perturb_arg] = carry
+                aa[perturb_arg] = x
                 out = fn(*aa)
-                return jax.tree.leaves(out)[0].astype(carry.dtype)
+                leaves = jax.tree.leaves(out)
+                # anchor the non-carried leaves too: feeding back only
+                # leaves[0] would let XLA dead-code-eliminate every op that
+                # feeds the rest (same trap as the non-chain branch below)
+                for leaf in leaves[1:]:
+                    acc = acc + jnp.sum(jnp.abs(leaf)).astype(jnp.float32)
+                return leaves[0].astype(x.dtype), acc
 
-            final = jax.lax.fori_loop(0, k, body, a[perturb_arg])
-            return jnp.sum(jnp.abs(final)).astype(jnp.float32)
+            final, acc = jax.lax.fori_loop(
+                0, k, body, (a[perturb_arg], jnp.float32(0)))
+            return jnp.sum(jnp.abs(final)).astype(jnp.float32) + acc
 
         def body(i, acc):
             aa = list(a)
-            aa[perturb_arg] = aa[perturb_arg] + jnp.asarray(
-                1e-7 * i, aa[perturb_arg].dtype)
+            aa[perturb_arg] = aa[perturb_arg] + _perturb_delta(
+                i, aa[perturb_arg].dtype)
             out = fn(*aa)
             # anchor EVERY output leaf: reducing only leaves[0] lets XLA
             # dead-code-eliminate all compute feeding the other outputs
@@ -91,8 +110,9 @@ def device_timeit(
     # fantasy numbers.
     a0 = list(args)
     a1 = list(args)
-    a1[perturb_arg] = a1[perturb_arg] + jnp.asarray(
-        1e-6, np.dtype(a1[perturb_arg].dtype))
+    _dt = jnp.asarray(a1[perturb_arg]).dtype
+    _eps = 1e-6 if jnp.issubdtype(_dt, jnp.inexact) else 1
+    a1[perturb_arg] = a1[perturb_arg] + jnp.asarray(_eps, _dt)
     variants = [tuple(a0), tuple(a1)]
     jax.block_until_ready([v[perturb_arg] for v in variants])
 

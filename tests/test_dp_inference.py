@@ -83,3 +83,29 @@ def test_sharded_beam_matches_single(long_wav):
     res_s = single.transcribe_longform(long_wav, beam_size=4)
     res_m = sharded.transcribe_longform(long_wav, beam_size=4)
     assert [s.text for s in res_s] == [s.text for s in res_m]
+
+
+def test_process_shard_padding():
+    """pad=True gives every host ceil(n/p) items (single-host: no-op)."""
+    from gigaam_tpu.parallel import distributed as dist
+
+    items = ["a", "b", "c"]
+    assert dist.process_shard(items, pad=True) == items
+    assert dist.process_shard_indices(3, pad=True) == [0, 1, 2]
+    assert dist.process_shard([], pad=True) == []
+
+
+def test_initialize_refuses_silent_single_process(monkeypatch):
+    """Explicit num_processes>1 without a discoverable coordinator must
+    raise, not silently run every host single-process."""
+    import pytest as _pytest
+
+    from gigaam_tpu.parallel import distributed as dist
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+              "OMPI_COMM_WORLD_SIZE", "SLURM_NTASKS", "PMI_SIZE"):
+        monkeypatch.delenv(k, raising=False)
+    with _pytest.raises(ValueError, match="coordinator"):
+        dist.initialize(num_processes=2, process_id=0)
+    dist.initialize()  # argless stays a safe no-op

@@ -47,3 +47,26 @@ def test_trace_writes_profile(tmp_path):
     for root, _dirs, files in os.walk(log_dir):
         found.extend(files)
     assert found, "trace() produced no profiler artifacts"
+
+
+def test_device_timeit_chain_multi_leaf_and_int_args():
+    """chain mode must anchor every output leaf (not just the carry), and
+    integer perturb args must not truncate the anti-CSE deltas to zero."""
+    import jax.numpy as jnp
+
+    from gigaam_tpu.profiling import device_timeit
+
+    def fn(x, y):
+        return x * 1.0001, (x @ x.T).sum(axis=1)  # carry leaf + extra leaf
+
+    x = jnp.ones((8, 8), jnp.float32)
+    t = device_timeit(fn, (x, jnp.zeros(())), k=3, windows=1, reps=2,
+                      chain=True)
+    assert t > 0.0
+
+    def int_fn(ids):
+        return (ids * 2).sum()
+
+    t2 = device_timeit(int_fn, (jnp.arange(16, dtype=jnp.int32),),
+                       k=3, windows=1, reps=2)
+    assert t2 > 0.0
