@@ -377,10 +377,15 @@ def _convert_layer(sd: Dict[str, np.ndarray], enc: EncoderConfig,
     else:
         bn = _norm(sd, bn_name)
 
+    # value/gate halves of the GLU projection stored as separate leaves
+    # (torch fuses them as [2C, C, 1]; see ops/conformer_ops.py for why)
+    pc1_w = sd[f"{prefix}conv.pointwise_conv1.weight"][:, :, 0].T
+    pc1_b = sd[f"{prefix}conv.pointwise_conv1.bias"]
+    half = pc1_w.shape[1] // 2
     conv = {
         "pointwise_conv1": {
-            "w": sd[f"{prefix}conv.pointwise_conv1.weight"][:, :, 0].T,
-            "b": sd[f"{prefix}conv.pointwise_conv1.bias"]},
+            "w_value": pc1_w[:, :half], "b_value": pc1_b[:half],
+            "w_gate": pc1_w[:, half:], "b_gate": pc1_b[half:]},
         "depthwise_conv": {
             "w": sd[f"{prefix}conv.depthwise_conv.weight"].transpose(2, 1, 0),
             "b": sd[f"{prefix}conv.depthwise_conv.bias"]},

@@ -595,9 +595,36 @@ def save_model(model: GigaAM, path: str) -> None:
         f.write(cfg.to_json())
 
 
+def migrate_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Upgrade legacy param layouts to the current schema.
+
+    Early artifacts stored the conv module's GLU projection as ONE fused
+    ``pointwise_conv1 {w [.., d, 2d], b [.., 2d]}``; the current layout
+    keeps value/gate halves as separate leaves so tensor-parallel sharding
+    never splits an (a_i, g_i) pair across devices (docs/PERF.md)."""
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k == "pointwise_conv1" and isinstance(v, dict) and "w" in v:
+                w = v["w"]
+                c = w.shape[-1] // 2
+                nv = {"w_value": w[..., :c], "w_gate": w[..., c:]}
+                if "b" in v:
+                    nv["b_value"] = v["b"][..., :c]
+                    nv["b_gate"] = v["b"][..., c:]
+                out[k] = nv
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(params)
+
+
 def load_params_npz(path: str) -> Dict[str, Any]:
     with np.load(path) as z:
-        return _unflatten({k: z[k] for k in z.files})
+        return migrate_params(_unflatten({k: z[k] for k in z.files}))
 
 
 def model_class_for(cfg: ModelConfig):

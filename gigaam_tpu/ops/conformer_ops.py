@@ -125,8 +125,21 @@ def conformer_conv(
     SiLU -> pointwise.  x [B, T, C]; valid [B, T] True=real frame.
     Returns (y, new_bn_stats_or_None).
     """
-    y = linear(p["pointwise_conv1"], x)                 # [B, T, 2C]
-    a, g = jnp.split(y, 2, axis=-1)
+    # GLU with the value/gate projections as separate leaves (torch fuses
+    # them into one [d, 2C] matmul + split at dim=1): numerically identical,
+    # but under tensor parallelism each half shards over "model" so
+    # (a_i, g_i) stay co-resident — the fused layout forces a full
+    # activation exchange before the product (see docs/PERF.md)
+    pc1 = p["pointwise_conv1"]
+
+    def _half(which: str) -> Dict[str, jnp.ndarray]:
+        h = {"w": pc1[f"w_{which}"]}
+        if f"b_{which}" in pc1:
+            h["b"] = pc1[f"b_{which}"]
+        return h
+
+    a = linear(_half("value"), x)
+    g = linear(_half("gate"), x)
     y = a * jax.nn.sigmoid(g)                            # GLU (torch dim=1)
     if valid is not None:
         y = jnp.where(valid[:, :, None], y, 0.0)

@@ -60,7 +60,12 @@ def _layer_pspecs(attention: str) -> Dict[str, Any]:
         attn["pos_bias_v"] = P(None, "model", None)
     conv = {
         # depthwise conv + norm act per-channel: shard channels over "model"
-        "pointwise_conv1": {"w": P(None, None, "model"), "b": P(None, "model")},
+        # GLU halves are separate leaves so (a_i, g_i) land on the same
+        # device (Megatron-GLU); a fused 2C column shard would split the
+        # value/gate halves across groups and force an activation exchange
+        "pointwise_conv1": {
+            "w_value": P(None, None, "model"), "b_value": P(None, "model"),
+            "w_gate": P(None, None, "model"), "b_gate": P(None, "model")},
         "depthwise_conv": {"w": P(None, None, None, "model"),
                            "b": P(None, "model")},
         "pointwise_conv2": {"w": P(None, "model", None), "b": P()},

@@ -360,6 +360,9 @@ class FineTuner:
             params = _unflatten(
                 {k[len("params/"):]: z[k] for k in z.files
                  if k.startswith("params/")})
+            from ..models.model import migrate_params
+
+            params = migrate_params(params)
             opt_leaves = [z[f"opt/{i}"]
                           for i in range(int(meta["n_opt_leaves"]))]
 

@@ -443,3 +443,47 @@ def test_omegaconf_fixture_with_real_classes_importable(monkeypatch):
         for name in created:
             sys.modules.pop(name, None)
         sys.modules.pop("make_omegaconf_fixture", None)
+
+
+def test_legacy_fused_glu_artifact_migrates(tmp_path):
+    """Artifacts saved with the old fused pointwise_conv1 {w, b} layout must
+    load into the split value/gate schema with identical outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import gigaam_tpu
+    from gigaam_tpu.models.model import GigaAMASR, _flatten
+
+    from test_training import tiny_cfg
+
+    model = GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+    flat = _flatten(jax.tree.map(np.asarray, model.params))
+    # re-fuse the GLU leaves the way v1 artifacts stored them
+    legacy = {}
+    for k, v in flat.items():
+        if k.endswith("pointwise_conv1/w_value"):
+            base = k[: -len("w_value")]
+            legacy[base + "w"] = np.concatenate(
+                [v, flat[base + "w_gate"]], axis=-1)
+            legacy[base + "b"] = np.concatenate(
+                [flat[base + "b_value"], flat[base + "b_gate"]], axis=-1)
+        elif "pointwise_conv1" not in k:
+            legacy[k] = v
+    path = str(tmp_path / "legacy")
+    np.savez(path + ".npz", **legacy)
+    with open(path + ".json", "w") as f:
+        f.write(model.cfg.to_json())
+
+    loaded = gigaam_tpu.load_model(path + ".npz")
+    rng = np.random.default_rng(0)
+    wav = (0.1 * rng.standard_normal(8000)).astype(np.float32)
+    import tempfile
+
+    from gigaam_tpu.audio import save_wav
+
+    wav_path = str(tmp_path / "w.wav")
+    save_wav(wav_path, wav)
+    assert loaded.transcribe(wav_path).text == model.transcribe(wav_path).text
+    a = loaded.params["encoder"]["layers"]["conv"]["pointwise_conv1"]
+    assert set(a) == {"w_value", "w_gate", "b_value", "b_gate"}

@@ -373,3 +373,35 @@ def test_sharded_restore_preserves_opt_shardings(tmp_path):
     # eval under the mesh uses the sharded jit too
     loss, hyps = ft2.eval_step(synth_batch(b=4, seed=8))
     assert np.isfinite(loss) and len(hyps) == 4
+
+
+def test_tp_encoder_has_no_glu_exchange():
+    """Under DPxTP the conv module's GLU must not reshard activations:
+    value/gate leaves shard Megatron-style, so the compiled encoder
+    contains no collective-permute / all-to-all (only the row-parallel
+    all-reduces)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import re
+
+    from jax.sharding import NamedSharding
+
+    from gigaam_tpu.parallel.mesh import (batch_pspec, params_pspecs,
+                                          shard_params, to_named)
+
+    mesh = make_mesh(data=4, model=2)
+    model = GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+    specs = params_pspecs(model.params,
+                          model.cfg.encoder.self_attention_model,
+                          model.cfg.encoder.conv_norm_type)
+    params = shard_params(model.params, mesh, specs)
+    wavs = jnp.zeros((4, 16000), jnp.float32)
+    lens = jnp.full((4,), 16000, jnp.int32)
+    pos = model._pos_for(16000)
+    f = jax.jit(model._encode_impl,
+                in_shardings=(to_named(mesh, specs),
+                              NamedSharding(mesh, batch_pspec()),
+                              NamedSharding(mesh, batch_pspec()), None))
+    hlo = f.lower(params, wavs, lens, pos).compile().as_text()
+    assert not re.findall(r"collective-permute", hlo)
+    assert not re.findall(r"all-to-all", hlo)
