@@ -90,8 +90,29 @@ def encoder_pspecs(params: Dict[str, Any], attention: str,
         layer["conv"] = dict(layer["conv"])
         layer["conv"]["batch_norm"] = {"scale": P(None, "model"),
                                        "bias": P(None, "model")}
-    pre = {k: jax.tree.map(lambda _: P(), v)
-           for k, v in params["pre_encode"].items()}
+    # Subsampling convs TP-shard Megatron-style too — replicating them
+    # wastes the single biggest pre-encoder block (the 768-channel stage-2
+    # conv is ~25% of forward FLOPs).  Even stages shard OUTPUT channels
+    # (conv weight's last axis), odd stages contract the sharded input
+    # channels (second-to-last axis) and XLA all-reduces the partial sums;
+    # the elementwise ReLU/bias/mask between stages are sharding-agnostic.
+    # The flatten 'out' linear (conv2d variant) stays replicated: its input
+    # is replicated after the odd stage's reduce and it is ~10x cheaper
+    # than the stage convs.
+    pre: Dict[str, Any] = {}
+    for k, v in params["pre_encode"].items():
+        if k.startswith("conv_"):
+            nd = v["w"].ndim  # 4 = conv2d HWIO, 3 = conv1d WIO
+            if int(k.split("_")[1]) % 2 == 0:
+                spec = [None] * nd
+                spec[-1] = "model"  # column-parallel (output channels)
+                pre[k] = {"w": P(*spec), "b": P("model")}
+            else:
+                spec = [None] * nd
+                spec[-2] = "model"  # row-parallel (input channels)
+                pre[k] = {"w": P(*spec), "b": P()}
+        else:
+            pre[k] = jax.tree.map(lambda _: P(), v)
     return {"pre_encode": pre, "layers": layer}
 
 
