@@ -32,7 +32,7 @@ from .config import CTCHeadConfig, EmoHeadConfig, ModelConfig, RNNTHeadConfig
 from .frontend import num_frames
 from .models import heads as heads_lib
 from .models.model import GigaAM, GigaAMASR
-from .ops.conformer_ops import subsampled_length
+from .ops.conformer_ops import static_subsampled_length
 
 
 def _export_fn(fn: Callable, args: Tuple[Any, ...]) -> bytes:
@@ -92,9 +92,9 @@ def export_model(
 
     for b in batch_sizes:
         for t_feat in t_feats:
-            t_sub = int(subsampled_length(
-                jnp.asarray([t_feat]), cfg.encoder.num_subsampling_stages,
-                cfg.encoder.subs_kernel_size)[0])
+            t_sub = static_subsampled_length(
+                t_feat, cfg.encoder.num_subsampling_stages,
+                cfg.encoder.subs_kernel_size)
             pos = model._pos_for_tfeat(t_feat)
             feats_spec = _feat_spec(model, b, t_feat)
 

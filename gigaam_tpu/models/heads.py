@@ -195,7 +195,10 @@ def emo_probs(params: Params, encoded: jnp.ndarray,
     """
     t = encoded.shape[1]
     valid = (jnp.arange(t)[None, :] < lengths[:, None]).astype(encoded.dtype)
-    pooled = (encoded * valid[:, :, None]).sum(axis=1) / jnp.maximum(
-        valid.sum(axis=1, keepdims=True), 1.0)
+    # exact fp32 frame count: summing the bf16 mask would round counts
+    # above 256 frames (30 s+ audio) and skew the mean pool
+    count = jnp.minimum(lengths, t).astype(jnp.float32)[:, None]
+    pooled = ((encoded * valid[:, :, None]).astype(jnp.float32).sum(axis=1)
+              / jnp.maximum(count, 1.0))
     logits = linear(params["proj"], pooled).astype(jnp.float32)
     return jax.nn.softmax(logits, axis=-1)

@@ -43,7 +43,6 @@ from ..models.encoder import (
     conformer_forward,
     init_encoder_params,
 )
-from ..ops.conformer_ops import subsampled_length
 from ..types import (
     LongformTranscriptionResult,
     Segment,
@@ -322,16 +321,16 @@ class GigaAMASR(GigaAM):
             def decode_host():
                 from ..decode.ctc_beam import ctc_beam_batch
 
-                return ctc_beam_batch(np.asarray(log_probs)[:n],
-                                      np.asarray(enc_lens)[:n],
+                return ctc_beam_batch(tree_to_host(log_probs)[:n],
+                                      tree_to_host(enc_lens)[:n],
                                       beam_size=beam_size)
         elif is_ctc:
             labels, keep, enc_lens = self._asr_fwd(
                 self.params, dev_batch, dev_lens, pos)
 
             def decode_host():
-                return ctc_extract(np.asarray(labels)[:n],
-                                   np.asarray(keep)[:n])
+                return ctc_extract(tree_to_host(labels)[:n],
+                                   tree_to_host(keep)[:n])
         else:
             encoded, enc_lens = self._encode_jit(
                 self.params, dev_batch, dev_lens, pos)
@@ -348,13 +347,16 @@ class GigaAMASR(GigaAM):
                     max_symbols=self.cfg.decoding.max_symbols_per_step)
 
             def decode_host():
-                return rnnt_extract(np.asarray(tokens)[:n],
-                                    np.asarray(frames)[:n],
-                                    np.asarray(counts)[:n])
+                return rnnt_extract(tree_to_host(tokens)[:n],
+                                    tree_to_host(frames)[:n],
+                                    tree_to_host(counts)[:n])
 
         def finalize() -> List[Tuple[str, Optional[List[Word]]]]:
             decoded = decode_host()
-            enc_lens_np = np.asarray(enc_lens)
+            # tree_to_host, not np.asarray: under a multi-host mesh the
+            # outputs span non-addressable devices and must be allgathered
+            # (the same contract save_model relies on)
+            enc_lens_np = tree_to_host(enc_lens)
             out: List[Tuple[str, Optional[List[Word]]]] = []
             for i, (ids, frames_i) in enumerate(decoded):
                 text = self.tokenizer.decode(ids)
@@ -456,12 +458,7 @@ class GigaAMASR(GigaAM):
             for j, (text, words) in enumerate(finalize()):
                 seg_start, seg_end = boundaries[i + j]
                 if word_timestamps:
-                    words = [
-                        Word(text=w.text,
-                             start=round(w.start + seg_start, 3),
-                             end=round(w.end + seg_start, 3))
-                        for w in words or []
-                    ]
+                    words = [w.shifted(seg_start) for w in words or []]
                     result_segments.append(Segment(
                         text=text, start=seg_start, end=seg_end, words=words))
                 else:

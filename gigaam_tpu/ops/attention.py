@@ -28,17 +28,10 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from .conformer_ops import linear as _linear
 from .rotary import apply_rotary
 
 NEG_INF = -1e9
-
-
-def _linear(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.einsum("...i,io->...o", x, p["w"].astype(x.dtype),
-                   preferred_element_type=x.dtype)
-    if "b" in p:
-        y = y + p["b"].astype(x.dtype)
-    return y
 
 
 def _split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:

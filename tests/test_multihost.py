@@ -85,6 +85,17 @@ if pid == 0:
     back = load_native(art)
     np.testing.assert_allclose(
         np.asarray(back.params["head"]["proj"]["w"]), ref, atol=1e-6)
+
+# 4) 2-process DP inference: decode readback must allgather the sharded
+# outputs (np.asarray on them raises 'spans non-addressable devices')
+model2 = GigaAMASR(cfg, seed=0, compute_dtype=jnp.float32)
+mesh_dp = Mesh(np.array(jax.devices()).reshape(4), ("data",))
+model2.set_mesh(mesh_dp)
+rng = np.random.default_rng(0)
+wavs = [(0.1 * rng.standard_normal(8000)).astype(np.float32)
+        for _ in range(2)]
+decoded = model2._decode_batch(wavs, word_timestamps=True)
+assert len(decoded) == 2 and all(isinstance(t, str) for t, _ in decoded)
 print("MH-OK", pid, flush=True)
 """
 
