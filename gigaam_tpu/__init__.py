@@ -37,6 +37,7 @@ from .models.model import (
     save_model,
 )
 from .models.vad_net import load_vad_regions_fn
+from .streaming import StreamingTranscriber, stream_file
 from .types import (
     LongformTranscriptionResult,
     Segment,
@@ -61,6 +62,8 @@ __all__ = [
     "SAMPLE_RATE",
     "RU_VOCAB",
     "load_vad_regions_fn",
+    "StreamingTranscriber",
+    "stream_file",
 ]
 
 _CACHE_DIR = os.path.expanduser("~/.cache/gigaam_tpu")

@@ -120,6 +120,49 @@ def transcribe_files(
         return [f.result() for f in futs]
 
 
+def transcribe_stream(
+    url: str,
+    wav: np.ndarray,
+    chunk_s: float = 0.5,
+    timeout: float = 600.0,
+) -> List[Dict]:
+    """POST audio to /transcribe_stream as chunked s16le PCM; returns the
+    NDJSON event list ({"kind": "partial"|"committed", "text", "words"}).
+
+    The upload is sent in ``chunk_s``-sized pieces (simulating real time);
+    events are read back after the upload completes — a fully duplex
+    client would read concurrently, but the server emits tiny lines that
+    sit in the socket buffer meanwhile."""
+    import http.client
+    from urllib.parse import urlparse as _parse
+
+    u = _parse(url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=timeout)
+    try:
+        conn.putrequest("POST", "/transcribe_stream")
+        conn.putheader("Content-Type", "audio/l16")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        pcm = np.clip(np.rint(np.asarray(wav, np.float32) * 32768.0),
+                      -32768, 32767).astype("<i2").tobytes()
+        step = int(chunk_s * SAMPLE_RATE) * 2
+        for i in range(0, len(pcm), step):
+            piece = pcm[i: i + step]
+            conn.send(f"{len(piece):X}\r\n".encode() + piece + b"\r\n")
+        conn.send(b"0\r\n\r\n")
+        resp = conn.getresponse()
+        if resp.status != 200:
+            raise RuntimeError(f"stream failed: {resp.status} "
+                               f"{resp.read()[:200]!r}")
+        events = []
+        for line in resp.read().splitlines():
+            if line.strip():
+                events.append(json.loads(line))
+        return events
+    finally:
+        conn.close()
+
+
 def health(url: str, timeout: float = 10.0) -> Optional[Dict]:
     try:
         with urllib.request.urlopen(f"{url.rstrip('/')}/health",

@@ -19,8 +19,14 @@ HTTP API (stdlib only):
        Audio over 25 s is rejected (400) — use /transcribe_longform.
   POST /transcribe_longform  -> {"text": ..., "segments": [{start, end,
        text[, words]}]}; same body formats, any duration (VAD-chunked).
-  503 {"error": "overloaded"} when the request queue (shortform) or the
-       longform concurrency slots are full.
+  POST /transcribe_stream    -> NDJSON event stream (chunked response):
+       {"kind": "partial"|"committed", "text", "words"} per line, one
+       final committed event at end of input.  Body: 16-bit little-endian
+       PCM @ 16 kHz, sent with Transfer-Encoding: chunked (or a fixed
+       Content-Length); an extension over the reference (no streaming
+       story there) backed by gigaam_tpu.streaming.StreamingTranscriber.
+  503 {"error": "overloaded"} when the request queue (shortform), the
+       longform slots, or the streaming slots are full.
 
 Usage: python -m gigaam_tpu.serve --model_name <artifact> --port 8000
 """
@@ -92,6 +98,9 @@ class BatchingASRServer:
         # concurrency so a burst of hour-long posts cannot spawn unbounded
         # competing device-inference threads
         self.longform_slots = threading.BoundedSemaphore(2)
+        # live streams likewise: each holds a handler thread and issues
+        # periodic single-row decodes for its whole lifetime
+        self.stream_slots = threading.BoundedSemaphore(4)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -123,9 +132,13 @@ class BatchingASRServer:
         if seconds is None:
             short = self._bucket_edges(LONGFORM_THRESHOLD_SEC)
             long = self._bucket_edges(30.0) if longform else []
+            # streaming decodes are single-row over the same buckets, up to
+            # the default 20 s stream window
+            stream = self._bucket_edges(20.0)
         else:
             short = list(seconds)
             long = list(seconds) if longform else []
+            stream = []
         for s in short:
             wav = (0.01 * rng.standard_normal(SAMPLE_RATE * s)
                    ).astype(np.float32)
@@ -139,6 +152,12 @@ class BatchingASRServer:
             self.model._decode_batch([wav], word_timestamps=False,
                                      beam_size=self.beam_size,
                                      pad_rows_to=self.longform_batch,
+                                     bucket=self.bucket_samples)
+        for s in stream:
+            wav = (0.01 * rng.standard_normal(SAMPLE_RATE * s)
+                   ).astype(np.float32)
+            self.model._decode_batch([wav], word_timestamps=True,
+                                     beam_size=self.beam_size,
                                      bucket=self.bucket_samples)
 
     def submit(self, wav: np.ndarray, timestamps: bool,
@@ -265,8 +284,77 @@ def make_handler(server: BatchingASRServer,
             else:
                 self._send(404, {"error": "not found"})
 
+        def _body_chunks(self, max_piece: int = 1 << 15):
+            """Yield request-body pieces: chunked Transfer-Encoding or a
+            fixed Content-Length read in bounded pieces."""
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            if "chunked" in te:
+                while True:
+                    line = self.rfile.readline(1024).strip()
+                    if not line:
+                        return
+                    size = int(line.split(b";")[0], 16)
+                    if size == 0:
+                        # consume optional trailers up to the blank line
+                        while self.rfile.readline(1024).strip():
+                            pass
+                        return
+                    yield self.rfile.read(size)
+                    self.rfile.read(2)  # chunk-terminating CRLF
+            else:
+                remaining = int(self.headers.get("Content-Length", 0))
+                while remaining > 0:
+                    piece = self.rfile.read(min(max_piece, remaining))
+                    if not piece:
+                        return
+                    remaining -= len(piece)
+                    yield piece
+
+        def _handle_stream(self):
+            """Incremental transcription: s16le PCM in, NDJSON events out."""
+            if not server.stream_slots.acquire(blocking=False):
+                self._send(503, {"error": "overloaded"})
+                return
+            try:
+                from .streaming import StreamingTranscriber
+
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def emit(ev) -> None:
+                    line = (json.dumps(ev.to_dict(), ensure_ascii=False)
+                            + "\n").encode()
+                    self.wfile.write(f"{len(line):X}\r\n".encode()
+                                     + line + b"\r\n")
+                    self.wfile.flush()
+
+                st = StreamingTranscriber(server.model,
+                                          beam_size=server.beam_size,
+                                          bucket_s=server.bucket_samples
+                                          / SAMPLE_RATE)
+                carry = b""
+                for piece in self._body_chunks():
+                    data = carry + piece
+                    n = len(data) // 2 * 2
+                    carry = data[n:]
+                    pcm = (np.frombuffer(data[:n], "<i2")
+                           .astype(np.float32) / 32768.0)
+                    for ev in st.push(pcm):
+                        emit(ev)
+                emit(st.flush())
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away mid-stream
+            finally:
+                server.stream_slots.release()
+
         def do_POST(self):
             parsed = urlparse(self.path)
+            if parsed.path == "/transcribe_stream":
+                self._handle_stream()
+                return
             if parsed.path not in ("/transcribe", "/transcribe_longform"):
                 self._send(404, {"error": "not found"})
                 return

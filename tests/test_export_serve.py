@@ -535,7 +535,8 @@ def test_warmup_covers_every_reachable_graph(ctc_model):
         got = {(rows, length // sr) for rows, _, length in seen}
         short = {(4, s) for s in (5, 10, 15, 20, 25)}
         long = {(16, s) for s in (5, 10, 15, 20, 25, 30)}
-        assert got == short | long, got
+        stream = {(0, s) for s in (5, 10, 15, 20)}  # single-row, 20 s window
+        assert got == short | long | stream, got
     finally:
         ctc_model._decode_batch = orig
         server.shutdown()
@@ -553,3 +554,47 @@ def test_bucket_coarsening_preserves_output(ctc_model):
     f_words = [(w.text, w.start, w.end) for w in (fine[0][1] or [])]
     c_words = [(w.text, w.start, w.end) for w in (coarse[0][1] or [])]
     assert f_words == c_words
+
+
+def test_server_streaming_endpoint(http_server, ctc_model, tmp_path):
+    """Chunked s16 PCM upload -> NDJSON events; final committed text equals
+    offline transcribe for a short stream (same graphs, no trims)."""
+    from gigaam_tpu.audio import save_wav
+    from gigaam_tpu.client import transcribe_stream
+
+    rng = np.random.default_rng(9)
+    t = np.arange(6 * 16000) / 16000
+    wav = (0.3 * np.sin(2 * np.pi * 300 * t)
+           + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
+    events = transcribe_stream(http_server, wav, chunk_s=0.5)
+    assert events and events[-1]["kind"] == "committed"
+    committed = " ".join(e["text"] for e in events
+                         if e["kind"] == "committed" and e["text"])
+
+    path = str(tmp_path / "stream_ref.wav")
+    save_wav(path, wav)
+    offline = ctc_model.transcribe(path).text
+    assert committed == offline
+
+
+def test_server_streaming_overload(ctc_model):
+    """Streams over the slot cap answer 503 immediately."""
+    import http.client
+
+    server = BatchingASRServer(ctc_model, max_batch=2, batch_window_ms=5.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # exhaust the slots without sending any audio
+        while server.stream_slots.acquire(blocking=False):
+            pass
+        conn = http.client.HTTPConnection("127.0.0.1", httpd.server_port,
+                                          timeout=30)
+        conn.request("POST", "/transcribe_stream", body=b"",
+                     headers={"Content-Type": "audio/l16"})
+        assert conn.getresponse().status == 503
+        conn.close()
+    finally:
+        httpd.shutdown()
+        server.shutdown()

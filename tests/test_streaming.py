@@ -1,0 +1,100 @@
+"""Streaming ASR tests: LocalAgreement commits, stability, trim behavior,
+and short-stream equality with offline transcribe (an extension over the
+reference, which has no streaming at all)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gigaam_tpu.audio import save_wav
+from gigaam_tpu.models.model import GigaAMASR
+from gigaam_tpu.streaming import StreamingTranscriber, stream_file
+
+from test_training import tiny_cfg
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def ctc_model():
+    return GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+
+
+def _speechy(seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(SR * seconds)) / SR
+    return (0.3 * np.sin(2 * np.pi * 280 * t)
+            + 0.08 * rng.standard_normal(t.size)).astype(np.float32)
+
+
+def test_short_stream_matches_offline(ctc_model, tmp_path):
+    """Committed text after flush == offline transcribe (no trims for
+    streams shorter than the window; the flush decodes the whole buffer)."""
+    wav = _speechy(6.0, seed=1)
+    path = str(tmp_path / "s.wav")
+    save_wav(path, wav)
+    offline = ctc_model.transcribe(path).text
+
+    st = StreamingTranscriber(ctc_model, window_s=20.0, stride_s=2.0,
+                              trim_s=12.0)
+    # 16-bit quantized input (as the wav file stores it) so both paths see
+    # identical samples
+    q = np.clip(np.rint(wav * 32767.0), -32768, 32767) / 32768.0
+    q = q.astype(np.float32)
+    for i in range(0, len(q), SR // 2):
+        st.push(q[i: i + SR // 2])
+    st.flush()
+    assert st.text == offline
+
+
+def test_committed_text_is_stable(ctc_model):
+    """Committed words are never retracted or reordered as audio grows."""
+    wav = _speechy(10.0, seed=2)
+    st = StreamingTranscriber(ctc_model, window_s=20.0, stride_s=1.0)
+    snapshots = []
+    for i in range(0, len(wav), SR // 2):
+        st.push(wav[i: i + SR // 2])
+        snapshots.append(st.text)
+    st.flush()
+    snapshots.append(st.text)
+    for a, b in zip(snapshots, snapshots[1:]):
+        assert b.startswith(a), (a, b)
+    # times are monotonically non-decreasing
+    times = [(w.start, w.end) for w in st.committed]
+    assert times == sorted(times)
+    for w in st.committed:
+        assert w.start < w.end
+
+
+def test_long_stream_trims_buffer(ctc_model):
+    """A stream longer than trim_s keeps the rolling buffer bounded."""
+    wav = _speechy(30.0, seed=3)
+    st = StreamingTranscriber(ctc_model, window_s=16.0, stride_s=2.0,
+                              trim_s=8.0)
+    for i in range(0, len(wav), SR):
+        st.push(wav[i: i + SR])
+        assert len(st._buf) <= st.window
+    st.flush()
+    assert st.text  # something was transcribed
+    assert st._base > 0, "expected at least one buffer trim on 30 s audio"
+
+
+def test_stream_file_events(ctc_model):
+    """stream_file yields partial + committed events and one final flush."""
+    wav = _speechy(8.0, seed=4)
+    events = list(stream_file(ctc_model, wav, chunk_s=0.5,
+                              window_s=20.0, stride_s=2.0))
+    kinds = [e.kind for e in events]
+    assert kinds[-1] == "committed"  # the flush
+    assert "partial" in kinds
+    d = events[-1].to_dict()
+    assert set(d) == {"kind", "text", "words"}
+
+
+def test_push_after_flush_raises(ctc_model):
+    st = StreamingTranscriber(ctc_model)
+    st.push(np.zeros(SR, np.float32))
+    st.flush()
+    with pytest.raises(AssertionError):
+        st.push(np.zeros(100, np.float32))
