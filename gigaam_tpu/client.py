@@ -24,6 +24,13 @@ from .audio import load_audio
 from .config import SAMPLE_RATE
 
 
+def _to_s16(wav: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1] -> 16-bit PCM samples (shared by WAV and stream
+    bodies so both paths quantize identically)."""
+    return np.clip(np.rint(np.asarray(wav, np.float32) * 32768.0),
+                   -32768, 32767).astype("<i2")
+
+
 def _wav_bytes(wav: np.ndarray) -> bytes:
     """float32 [-1, 1] -> in-memory 16-bit PCM WAV (~1/10 the bytes of a
     JSON float list; audio is 16-bit at the source so the round trip is
@@ -31,8 +38,7 @@ def _wav_bytes(wav: np.ndarray) -> bytes:
     import io
     import wave
 
-    pcm = np.clip(np.rint(np.asarray(wav, np.float32) * 32768.0),
-                  -32768, 32767).astype("<i2")
+    pcm = _to_s16(wav)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
@@ -129,33 +135,56 @@ def transcribe_stream(
     """POST audio to /transcribe_stream as chunked s16le PCM; returns the
     NDJSON event list ({"kind": "partial"|"committed", "text", "words"}).
 
-    The upload is sent in ``chunk_s``-sized pieces (simulating real time);
-    events are read back after the upload completes — a fully duplex
-    client would read concurrently, but the server emits tiny lines that
-    sit in the socket buffer meanwhile."""
+    Fully duplex: a reader thread drains the server's event stream while
+    the upload proceeds — reading only after the upload would deadlock on
+    long streams once both directions' socket buffers fill.  If the server
+    rejects mid-upload (e.g. 503 overloaded), the send loop's broken pipe
+    is swallowed and the actual HTTP status is raised instead."""
     import http.client
+    import threading
     from urllib.parse import urlparse as _parse
 
     u = _parse(url)
-    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=timeout)
+    conn_cls = (http.client.HTTPSConnection if u.scheme == "https"
+                else http.client.HTTPConnection)
+    conn = conn_cls(u.hostname, u.port, timeout=timeout)
+    path = u.path.rstrip("/") + "/transcribe_stream"
+    result: Dict = {}
+
+    def read_response() -> None:
+        try:
+            resp = conn.getresponse()
+            result["status"] = resp.status
+            result["body"] = resp.read()
+        except Exception as exc:  # surfaced by the caller below
+            result["exc"] = exc
+
     try:
-        conn.putrequest("POST", "/transcribe_stream")
+        conn.putrequest("POST", path)
         conn.putheader("Content-Type", "audio/l16")
         conn.putheader("Transfer-Encoding", "chunked")
         conn.endheaders()
-        pcm = np.clip(np.rint(np.asarray(wav, np.float32) * 32768.0),
-                      -32768, 32767).astype("<i2").tobytes()
+        reader = threading.Thread(target=read_response, daemon=True)
+        reader.start()
+        pcm = _to_s16(wav).tobytes()
         step = int(chunk_s * SAMPLE_RATE) * 2
-        for i in range(0, len(pcm), step):
-            piece = pcm[i: i + step]
-            conn.send(f"{len(piece):X}\r\n".encode() + piece + b"\r\n")
-        conn.send(b"0\r\n\r\n")
-        resp = conn.getresponse()
-        if resp.status != 200:
-            raise RuntimeError(f"stream failed: {resp.status} "
-                               f"{resp.read()[:200]!r}")
+        try:
+            for i in range(0, len(pcm), step):
+                piece = pcm[i: i + step]
+                conn.send(f"{len(piece):X}\r\n".encode() + piece + b"\r\n")
+            conn.send(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # server closed early; its status arrives via the reader
+        reader.join(timeout)
+        if reader.is_alive():
+            raise TimeoutError("no response within timeout")
+        if "exc" in result:
+            raise result["exc"]
+        if result["status"] != 200:
+            raise RuntimeError(f"stream failed: {result['status']} "
+                               f"{result['body'][:200]!r}")
         events = []
-        for line in resp.read().splitlines():
+        for line in result["body"].splitlines():
             if line.strip():
                 events.append(json.loads(line))
         return events

@@ -138,7 +138,8 @@ class BatchingASRServer:
         else:
             short = list(seconds)
             long = list(seconds) if longform else []
-            stream = []
+            # streaming buffers never exceed the 20 s default window
+            stream = [s for s in seconds if s <= 20]
         for s in short:
             wav = (0.01 * rng.standard_normal(SAMPLE_RATE * s)
                    ).astype(np.float32)
@@ -267,6 +268,15 @@ def make_handler(server: BatchingASRServer,
     model_name = server.model.cfg.model_name
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: the streaming endpoint's chunked response framing is
+        # invalid on an HTTP/1.0 status line (version-honoring clients
+        # would read the raw chunk framing as body); every non-stream
+        # response carries Content-Length, so keep-alive is safe
+        protocol_version = "HTTP/1.1"
+        # socket read deadline: without one a stalled client parks a
+        # handler thread (and a stream slot) forever
+        timeout = 600
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -299,7 +309,15 @@ def make_handler(server: BatchingASRServer,
                         while self.rfile.readline(1024).strip():
                             pass
                         return
-                    yield self.rfile.read(size)
+                    # bounded pieces: a client-declared multi-GB chunk must
+                    # not be buffered whole (the fixed-length branch and the
+                    # other endpoints are capped the same way)
+                    while size > 0:
+                        piece = self.rfile.read(min(max_piece, size))
+                        if not piece:
+                            return
+                        size -= len(piece)
+                        yield piece
                     self.rfile.read(2)  # chunk-terminating CRLF
             else:
                 remaining = int(self.headers.get("Content-Length", 0))
@@ -334,19 +352,32 @@ def make_handler(server: BatchingASRServer,
                                           beam_size=server.beam_size,
                                           bucket_s=server.bucket_samples
                                           / SAMPLE_RATE)
-                carry = b""
-                for piece in self._body_chunks():
-                    data = carry + piece
-                    n = len(data) // 2 * 2
-                    carry = data[n:]
-                    pcm = (np.frombuffer(data[:n], "<i2")
-                           .astype(np.float32) / 32768.0)
-                    for ev in st.push(pcm):
-                        emit(ev)
-                emit(st.flush())
+                try:
+                    carry = b""
+                    for piece in self._body_chunks():
+                        data = carry + piece
+                        n = len(data) // 2 * 2
+                        carry = data[n:]
+                        pcm = (np.frombuffer(data[:n], "<i2")
+                               .astype(np.float32) / 32768.0)
+                        for ev in st.push(pcm):
+                            emit(ev)
+                    emit(st.flush())
+                except Exception as exc:
+                    # headers are already out: surface the failure as a
+                    # final NDJSON event and terminate the chunked stream
+                    # cleanly instead of truncating it (other endpoints
+                    # return structured 400/500 JSON)
+                    line = (json.dumps({
+                        "kind": "error",
+                        "error": f"{type(exc).__name__}: {exc}"},
+                        ensure_ascii=False) + "\n").encode()
+                    self.wfile.write(f"{len(line):X}\r\n".encode()
+                                     + line + b"\r\n")
                 self.wfile.write(b"0\r\n\r\n")
-            except (BrokenPipeError, ConnectionResetError):
-                pass  # client went away mid-stream
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError, TimeoutError):
+                pass  # client went away or stalled mid-stream
             finally:
                 server.stream_slots.release()
 

@@ -139,8 +139,10 @@ class StreamingTranscriber:
         # hold back the final agreed word: a word at the hypothesis edge can
         # still EXTEND as audio arrives ("г" growing into "гдг" keeps the
         # same start, so start-based agreement alone would commit the stub);
-        # only words with an agreed successor have an established boundary
-        n -= 1
+        # only words with an agreed successor have an established boundary.
+        # max(0, ...): with zero agreement a bare n-1 = -1 would slice
+        # words[:-1] and commit nearly the whole DISAGREEING hypothesis
+        n = max(0, n - 1)
         done_until = self.committed[-1].end if self.committed else -1.0
         # midpoint rule: word times re-derive from a shifted buffer each
         # decode, so exact >= comparisons on rounded starts would drop (or

@@ -598,3 +598,37 @@ def test_server_streaming_overload(ctc_model):
     finally:
         httpd.shutdown()
         server.shutdown()
+
+
+def test_server_stream_error_event_on_malformed_framing(http_server):
+    """A garbled chunk-size line surfaces as a final NDJSON error event and
+    a cleanly terminated chunked stream, not a truncated connection."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(http_server)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=60)
+    try:
+        conn.putrequest("POST", "/transcribe_stream")
+        conn.putheader("Content-Type", "audio/l16")
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        conn.send(b"NOT-A-HEX-SIZE\r\n")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        lines = [json.loads(x) for x in resp.read().splitlines() if x.strip()]
+        assert lines and lines[-1]["kind"] == "error"
+        assert "ValueError" in lines[-1]["error"]
+    finally:
+        conn.close()
+
+
+def test_server_stream_long_upload_duplex(http_server):
+    """A stream bigger than typical socket buffers must not deadlock: the
+    client reads events concurrently with the upload (60 s ~= 1.9 MB)."""
+    from gigaam_tpu.client import transcribe_stream
+
+    rng = np.random.default_rng(11)
+    wav = (0.1 * rng.standard_normal(60 * 16000)).astype(np.float32)
+    events = transcribe_stream(http_server, wav, chunk_s=2.0, timeout=300)
+    assert events and events[-1]["kind"] == "committed"

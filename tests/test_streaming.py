@@ -98,3 +98,16 @@ def test_push_after_flush_raises(ctc_model):
     st.flush()
     with pytest.raises(AssertionError):
         st.push(np.zeros(100, np.float32))
+
+
+def test_streaming_rnnt_model():
+    """Streaming works for RNNT heads too (frames come from the on-device
+    greedy loop); short-stream flush equals offline decode."""
+    model = GigaAMASR(tiny_cfg("rnnt"), seed=0, compute_dtype=jnp.float32)
+    wav = _speechy(5.0, seed=5)
+    st = StreamingTranscriber(model, window_s=20.0, stride_s=2.0)
+    for i in range(0, len(wav), SR // 2):
+        st.push(wav[i: i + SR // 2])
+    st.flush()
+    offline = model._decode_batch([wav], word_timestamps=False)[0][0]
+    assert st.text == offline
