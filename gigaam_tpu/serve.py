@@ -132,14 +132,12 @@ class BatchingASRServer:
         if seconds is None:
             short = self._bucket_edges(LONGFORM_THRESHOLD_SEC)
             long = self._bucket_edges(30.0) if longform else []
-            # streaming decodes are single-row over the same buckets, up to
-            # the default 20 s stream window
-            stream = self._bucket_edges(20.0)
         else:
             short = list(seconds)
             long = list(seconds) if longform else []
-            # streaming buffers never exceed the 20 s default window
-            stream = [s for s in seconds if s <= 20]
+        # no stream-specific warmup needed: /transcribe_stream routes its
+        # stride decodes through the shortform batching queue, so it hits
+        # exactly the (max_batch rows x bucket) graphs warmed above
         for s in short:
             wav = (0.01 * rng.standard_normal(SAMPLE_RATE * s)
                    ).astype(np.float32)
@@ -153,12 +151,6 @@ class BatchingASRServer:
             self.model._decode_batch([wav], word_timestamps=False,
                                      beam_size=self.beam_size,
                                      pad_rows_to=self.longform_batch,
-                                     bucket=self.bucket_samples)
-        for s in stream:
-            wav = (0.01 * rng.standard_normal(SAMPLE_RATE * s)
-                   ).astype(np.float32)
-            self.model._decode_batch([wav], word_timestamps=True,
-                                     beam_size=self.beam_size,
                                      bucket=self.bucket_samples)
 
     def submit(self, wav: np.ndarray, timestamps: bool,
@@ -348,10 +340,26 @@ def make_handler(server: BatchingASRServer,
                                      + line + b"\r\n")
                     self.wfile.flush()
 
+                from .types import Word
+
+                def batched_decode(buf):
+                    # route stride decodes through the dynamic-batching
+                    # queue: concurrent streams (and shortform traffic)
+                    # share device batches AND the already-warmed
+                    # (max_batch rows x bucket) graphs — no stream-specific
+                    # graph ever compiles
+                    req = server.submit(buf, timestamps=True)
+                    if req.error:
+                        raise RuntimeError(f"stream decode: {req.error}")
+                    return [Word(text=w["word"], start=w["start"],
+                                 end=w["end"])
+                            for w in req.result.get("words") or []]
+
                 st = StreamingTranscriber(server.model,
                                           beam_size=server.beam_size,
                                           bucket_s=server.bucket_samples
-                                          / SAMPLE_RATE)
+                                          / SAMPLE_RATE,
+                                          decode_fn=batched_decode)
                 try:
                     carry = b""
                     for piece in self._body_chunks():

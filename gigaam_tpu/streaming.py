@@ -95,9 +95,16 @@ class StreamingTranscriber:
         trim_s: float = 12.0,
         beam_size: int = 1,
         bucket_s: float = 5.0,
+        decode_fn=None,
     ):
         assert window_s > trim_s > 0 and stride_s > 0
         self.model = model
+        # pluggable decode: the HTTP server passes a fn that routes buffer
+        # decodes through its dynamic-batching queue, so concurrent streams'
+        # strides batch together (and with shortform traffic) instead of
+        # each issuing single-row forwards.  Contract: wav -> List[Word]
+        # with times relative to the wav start.
+        self._decode_fn = decode_fn
         # coarse duration buckets bound the compiled-graph set to
         # window_s/bucket_s graphs per stream shape; padding is masked so
         # results are bucket-invariant (pinned by the serving tests)
@@ -121,11 +128,14 @@ class StreamingTranscriber:
         """One fixed-bucket decode of the current buffer -> absolute words."""
         if not len(self._buf):
             return []
-        text_words = self.model._decode_batch(
-            [self._buf], word_timestamps=True, beam_size=self.beam_size,
-            bucket=self.bucket)[0][1]
+        if self._decode_fn is not None:
+            words = self._decode_fn(self._buf)
+        else:
+            words = self.model._decode_batch(
+                [self._buf], word_timestamps=True, beam_size=self.beam_size,
+                bucket=self.bucket)[0][1]
         off = self._base / SAMPLE_RATE
-        return [w.shifted(off) for w in text_words or []]
+        return [w.shifted(off) for w in words or []]
 
     def _commit(self, words: List[Word], edge_s: float) -> List[Word]:
         """LocalAgreement-2: commit the prefix agreeing with the previous

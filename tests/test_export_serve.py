@@ -535,8 +535,9 @@ def test_warmup_covers_every_reachable_graph(ctc_model):
         got = {(rows, length // sr) for rows, _, length in seen}
         short = {(4, s) for s in (5, 10, 15, 20, 25)}
         long = {(16, s) for s in (5, 10, 15, 20, 25, 30)}
-        stream = {(0, s) for s in (5, 10, 15, 20)}  # single-row, 20 s window
-        assert got == short | long | stream, got
+        # no stream-specific graphs: /transcribe_stream decodes through the
+        # shortform queue and reuses the max_batch-row graphs
+        assert got == short | long, got
     finally:
         ctc_model._decode_batch = orig
         server.shutdown()
@@ -632,3 +633,33 @@ def test_server_stream_long_upload_duplex(http_server):
     wav = (0.1 * rng.standard_normal(60 * 16000)).astype(np.float32)
     events = transcribe_stream(http_server, wav, chunk_s=2.0, timeout=300)
     assert events and events[-1]["kind"] == "committed"
+
+
+def test_server_stream_decodes_ride_the_batch_queue(ctc_model):
+    """Server-side stream stride decodes must submit to the dynamic
+    batching queue (shared graphs + cross-stream batching), not issue
+    their own single-row decodes."""
+    from gigaam_tpu.client import transcribe_stream
+
+    server = BatchingASRServer(ctc_model, max_batch=2, batch_window_ms=5.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        seen_rows = []
+        orig = ctc_model._decode_batch_submit
+
+        def spy(wavs, *a, **kw):
+            seen_rows.append(kw.get("pad_rows_to", 0))
+            return orig(wavs, *a, **kw)
+
+        ctc_model._decode_batch_submit = spy
+        rng = np.random.default_rng(12)
+        wav = (0.1 * rng.standard_normal(5 * 16000)).astype(np.float32)
+        events = transcribe_stream(f"http://127.0.0.1:{httpd.server_port}",
+                                   wav, chunk_s=1.0)
+        assert events and events[-1]["kind"] == "committed"
+        assert seen_rows and all(r == 2 for r in seen_rows), seen_rows
+    finally:
+        ctc_model._decode_batch_submit = orig
+        httpd.shutdown()
+        server.shutdown()
