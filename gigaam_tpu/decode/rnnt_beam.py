@@ -171,7 +171,7 @@ def rnnt_beam_decode(
     # dynamic bound: frames past every sample's enc_len would each still pay
     # one full B*K expansion before frame_done saturates — skip them wholesale
     # (fori_loop with a traced bound lowers to while_loop)
-    t_hi = jnp.max(jnp.minimum(enc_len, t_max))
+    t_hi = jnp.max(enc_len)  # already clipped to [0, t_max] above
     out = jax.lax.fori_loop(0, t_hi, frame, state)
     # beams come out of top_k sorted descending by score: beam 0 is best
     return out["tokens"][:, 0], out["frames"][:, 0], out["count"][:, 0]

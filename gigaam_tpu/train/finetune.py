@@ -200,8 +200,10 @@ class FineTuner:
             compute_dtype=compute_dtype, train=bn_train)
 
         if self.mode == "ctc":
-            log_probs = heads_lib.ctc_log_probs(params["head"], encoded)
-            loss = ctc_loss(log_probs, enc_lens, tokens, tok_lens,
+            # raw logits: optax.ctc_loss log-softmaxes internally, so
+            # feeding pre-normalized log-probs would normalize twice
+            logits = heads_lib.ctc_logits(params["head"], encoded)
+            loss = ctc_loss(logits, enc_lens, tokens, tok_lens,
                             self.blank_id)
         else:
             u1 = tokens.shape[1] + 1

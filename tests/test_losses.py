@@ -44,18 +44,41 @@ def test_ctc_loss_matches_torch():
         torch.from_numpy(tgt_lens).long(),
     ).item()
 
+    # normalized log-probs are accepted too (optax re-normalizes,
+    # idempotently); the training path feeds raw logits
     ours = float(ctc_loss(
         jnp.asarray(np.asarray(log_probs)), jnp.asarray(in_lens),
         jnp.asarray(targets), jnp.asarray(tgt_lens), blank_id=v - 1))
-    # torch CTCLoss 'mean' divides per-sample loss by target_length first
-    ref_sum = torch.nn.CTCLoss(blank=v - 1, reduction="none", zero_infinity=True)(
-        log_probs.transpose(0, 1),
-        torch.from_numpy(targets).long(),
-        torch.from_numpy(in_lens).long(),
-        torch.from_numpy(tgt_lens).long(),
-    )
-    np.testing.assert_allclose(ours, ref_sum.mean().item(), atol=1e-4)
-    assert np.isfinite(ref)  # sanity on the torch side too
+    # exact torch reduction='mean' parity: per-sample totals divide by
+    # target_length before the batch mean (the reference training recipe)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    ours_logits = float(ctc_loss(
+        jnp.asarray(logits), jnp.asarray(in_lens),
+        jnp.asarray(targets), jnp.asarray(tgt_lens), blank_id=v - 1))
+    np.testing.assert_allclose(ours_logits, ref, atol=1e-4)
+
+    # pad rows (input_length 0) drop out of the batch mean entirely
+    in_pad = np.array([12, 9, 0], dtype=np.int32)
+    tgt_pad = np.array([5, 3, 0], dtype=np.int32)
+    ref2 = torch.nn.CTCLoss(blank=v - 1, reduction="mean",
+                            zero_infinity=True)(
+        log_probs[:2].transpose(0, 1),
+        torch.from_numpy(targets[:2]).long(),
+        torch.from_numpy(in_pad[:2]).long(),
+        torch.from_numpy(tgt_pad[:2]).long(),
+    ).item()
+    ours2 = float(ctc_loss(
+        jnp.asarray(logits), jnp.asarray(in_pad),
+        jnp.asarray(targets), jnp.asarray(tgt_pad), blank_id=v - 1))
+    np.testing.assert_allclose(ours2, ref2, atol=1e-4)
+
+    # lengths beyond T clamp instead of defeating the feasibility gate
+    long_lens = np.array([50, 50, 50], dtype=np.int32)
+    ours3 = float(ctc_loss(
+        jnp.asarray(logits), jnp.asarray(long_lens),
+        jnp.asarray(targets), jnp.asarray(tgt_lens), blank_id=v - 1))
+    assert np.isfinite(ours3) and ours3 < 1e4
 
 
 def _numpy_rnnt_forward(blank_lp, emit_lp, t_len, u_len):
