@@ -50,6 +50,14 @@ class EncoderConfig:
     conv_kernel_size: int = 31
     flash_attn: bool = False              # fused Pallas attention path
     activation_checkpointing: bool = False
+    # remat policy under activation checkpointing:
+    #   "full" — save nothing, recompute the whole layer in backward
+    #            (the reference semantics, ``gigaam/encoder.py:628-638``)
+    #   "dots" — save matmul outputs (jax ``dots_with_no_batch_dims``
+    #            policy): backward skips recomputing the MXU-heavy FFN /
+    #            projection matmuls at the cost of holding their outputs
+    #            (~1.6 GB bf16 at b8 x 20 s across 16 layers)
+    remat_policy: str = "full"
 
     @property
     def d_head(self) -> int:

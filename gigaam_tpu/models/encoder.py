@@ -354,7 +354,12 @@ def conformer_forward(
         return out, new_stats
 
     if cfg.activation_checkpointing and train:
-        body = jax.checkpoint(body)
+        if cfg.remat_policy == "dots":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        else:
+            body = jax.checkpoint(body)
 
     x, bn_stats = jax.lax.scan(body, x, params["layers"])
     if not (train and cfg.conv_norm_type == "batch_norm"):

@@ -235,8 +235,18 @@ def striding_subsampling_conv2d(
         cur_len = subsampled_length(cur_len, 1, kernel_size)
         x = _mask_time(x, cur_len)
     b, t, f, c = x.shape
-    x = x.transpose(0, 1, 3, 2).reshape(b, t, c * f)     # channel-major flatten
-    out = linear(p["out"], x)
+    # The reference flattens channel-major ([b, t, C, f] reshape at
+    # ``gigaam/encoder.py:125-127``), which from NHWC needs a transpose of
+    # the ACTIVATION ([B, T2, F2, C] -> [B, T2, C, F2]: 98 MB at b8 x 20 s,
+    # ~210 us chip-measured; 4x that at b32).  Transposing the WEIGHT to
+    # freq-major instead is numerically the same contraction and touches
+    # only [C*F, d] = 18 MB bf16, constant in batch.
+    w = p["out"]["w"].astype(x.dtype)                    # [C*F, d] c-major
+    w = w.reshape(c, f, -1).transpose(1, 0, 2).reshape(f * c, -1)
+    out = jnp.einsum("...i,io->...o", x.reshape(b, t, f * c), w,
+                     preferred_element_type=x.dtype)
+    if "b" in p["out"]:
+        out = out + p["out"]["b"].astype(x.dtype)
     # cur_len IS subsampled_length(lengths, num_stages): return the value
     # the masks used, so masking and reported lengths cannot drift apart
     return out, cur_len

@@ -65,6 +65,10 @@ class TrainConfig:
     precision: str = "bf16"          # "bf16" | "fp32"
     rnnt_time_chunk: int = 64
     activation_checkpointing: bool = False
+    # "full" (reference semantics: recompute whole layers) or "dots"
+    # (save matmul outputs; faster backward, more memory) — see
+    # EncoderConfig.remat_policy
+    remat_policy: str = "full"
     accumulate_grad_batches: int = 1
 
 
@@ -149,7 +153,8 @@ class FineTuner:
 
         enc_cfg = dataclasses.replace(
             self.cfg.encoder,
-            activation_checkpointing=tc.activation_checkpointing)
+            activation_checkpointing=tc.activation_checkpointing,
+            remat_policy=tc.remat_policy)
         self.enc_cfg = enc_cfg
 
         self.optimizer, self.schedule = self._build_optimizer(model.params, tc)

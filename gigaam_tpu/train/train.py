@@ -51,6 +51,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
     p.add_argument("--freeze_encoder", action="store_true")
     p.add_argument("--activation_checkpointing", action="store_true")
+    p.add_argument("--remat_policy", choices=["full", "dots"], default="full",
+                   help="with --activation_checkpointing: 'full' recomputes "
+                        "whole layers in backward (reference semantics); "
+                        "'dots' saves matmul outputs (faster, more memory)")
     p.add_argument("--rnnt_time_chunk", type=int, default=64)
     # spec augment (reference defaults, ``module.py:29-32``)
     p.add_argument("--spec_augment", action="store_true")
@@ -116,7 +120,8 @@ def experiment_name(args) -> str:
     if args.freeze_encoder:
         parts.append("frenc")
     if args.activation_checkpointing:
-        parts.append("acckpt")
+        parts.append("acckpt" if args.remat_policy == "full"
+                     else f"acckpt-{args.remat_policy}")
     if args.min_duration or args.max_duration is not None:
         hi = "inf" if args.max_duration is None else _fmt_num(args.max_duration)
         parts.append(f"dur{_fmt_num(args.min_duration)}-{hi}s")
@@ -243,6 +248,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         time_masks=args.time_masks, time_width=args.time_width,
         precision=args.precision, rnnt_time_chunk=args.rnnt_time_chunk,
         activation_checkpointing=args.activation_checkpointing,
+        remat_policy=args.remat_policy,
         accumulate_grad_batches=args.accumulate_grad_batches)
 
     n_dev = len(jax.devices())

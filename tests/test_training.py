@@ -405,3 +405,24 @@ def test_tp_encoder_has_no_glu_exchange():
     hlo = f.lower(params, wavs, lens, pos).compile().as_text()
     assert not re.findall(r"collective-permute", hlo)
     assert not re.findall(r"all-to-all", hlo)
+
+
+def test_remat_policy_dots_matches_full():
+    """remat_policy='dots' changes only what backward recomputes, never
+    the math: one train step must produce the same loss and params as
+    the 'full' policy (and as no checkpointing at all)."""
+    batch = synth_batch(seed=5)
+    results = []
+    for ac, policy in ((True, "full"), (True, "dots"), (False, "full")):
+        model = GigaAMASR(tiny_cfg("ctc"), seed=4, compute_dtype=jnp.float32)
+        tc = TrainConfig(lr=1e-3, total_steps=5, precision="fp32",
+                         activation_checkpointing=ac, remat_policy=policy)
+        ft = FineTuner(model, tc)
+        m = ft.train_step(batch, jax.random.PRNGKey(0))
+        w = np.asarray(
+            ft.params["encoder"]["layers"]["feed_forward1"]["linear1"]["w"])
+        results.append((m["loss"], w))
+    (l_full, w_full), (l_dots, w_dots), (l_none, w_none) = results
+    assert l_full == l_dots
+    np.testing.assert_allclose(w_full, w_dots, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(w_full, w_none, rtol=0, atol=1e-6)
