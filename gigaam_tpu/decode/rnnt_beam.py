@@ -44,7 +44,8 @@ from ..models.heads import (
 NEG_INF = -1.0e30
 
 
-@partial(jax.jit, static_argnames=("beam_size", "max_symbols", "max_tokens"))
+@partial(jax.jit, static_argnames=("beam_size", "max_symbols", "max_tokens",
+                                   "lm_base", "lm_ctx_len"))
 def rnnt_beam_decode(
     params: Dict[str, Any],
     encoded: jnp.ndarray,
@@ -52,12 +53,26 @@ def rnnt_beam_decode(
     beam_size: int = 4,
     max_symbols: int = 10,
     max_tokens: int = 0,
+    lm_table: jnp.ndarray = None,
+    lm_base: int = 0,
+    lm_ctx_len: int = 0,
+    lm_weight: float = 0.5,
+    token_bonus: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """encoded [B, T, D], enc_len [B] ->
     (tokens [B, U_cap], frames [B, U_cap], counts [B]) of the best beam.
 
     Scores are unnormalized cumulative log-probabilities (the greedy
-    decoder's implicit criterion at K=1)."""
+    decoder's implicit criterion at K=1).
+
+    Shallow fusion (``lm_table`` set): label-emission candidates are biased
+    by ``lm_weight * lm_table[ctx, label] + token_bonus``, with per-
+    hypothesis LM context tracked as a packed integer — row index into the
+    dense table built by ``decode.lm.NGramLM.dense_table``.  Context
+    shift-in is pure integer arithmetic (base ``lm_base = V+1``,
+    ``lm_ctx_len = order-1`` digits), so fusion adds one [K, V]-row gather
+    per expansion and no host work.  Blank transitions carry no LM term
+    (the LM scores label strings, not alignments)."""
     b, t_max, _ = encoded.shape
     K = beam_size
     blank = params["decoder"]["embed"].shape[0] - 1
@@ -76,6 +91,11 @@ def rnnt_beam_decode(
     enc_len = jnp.clip(enc_len, 0, t_max)
     enc_proj = rnnt_joint_enc_proj(params, encoded.astype(jnp.float32))
 
+    use_lm = lm_table is not None and lm_ctx_len >= 0 and lm_base > 0
+    # all-BOS initial context: BOS = lm_base-1 in every digit
+    init_ctx = (lm_base ** lm_ctx_len - 1) if use_lm else 0
+    ctx_mod = (lm_base ** max(lm_ctx_len - 1, 0)) if use_lm else 1
+
     # beam state, axis layout [B, K, ...] (LSTM: [L, B, K, H]); only beam 0
     # is live initially so the first top-k can't pick duplicate empties
     state = dict(
@@ -86,6 +106,7 @@ def rnnt_beam_decode(
         tokens=jnp.zeros((b, K, u_cap), jnp.int32),
         frames=jnp.zeros((b, K, u_cap), jnp.int32),
         count=jnp.zeros((b, K), jnp.int32),
+        lm_ctx=jnp.full((b, K), init_ctx, jnp.int32),
     )
     rows = jnp.arange(b)[:, None].repeat(K, 1)           # [B, K]
     cols = jnp.arange(K)[None, :].repeat(b, 0)
@@ -104,9 +125,14 @@ def rnnt_beam_decode(
 
         may_expand = (~frame_done) & active & (s["count"] < u_cap)
         # label-emission candidates [B, K, V] (labels exclude blank)
+        lab_logp = logp[:, :, :blank]
+        if use_lm:
+            lab_logp = (lab_logp
+                        + lm_weight * lm_table[s["lm_ctx"]]
+                        + token_bonus)
         lab_scores = jnp.where(
             may_expand[:, :, None],
-            s["score"][:, :, None] + logp[:, :, :blank], NEG_INF)
+            s["score"][:, :, None] + lab_logp, NEG_INF)
         # blank/stay candidates [B, K]: open hyps pay the blank log-prob;
         # finished/inactive hyps carry their score unchanged
         take_blank = (~frame_done) & active
@@ -150,8 +176,14 @@ def rnnt_beam_decode(
         frame_done = jnp.where(
             emit, jnp.take_along_axis(frame_done, src_k, axis=1), True)
 
+        lm_ctx = jnp.take_along_axis(s["lm_ctx"], src_k, axis=1)
+        if use_lm and lm_ctx_len > 0:
+            shifted = (lm_ctx % ctx_mod) * lm_base + new_lab
+            lm_ctx = jnp.where(emit, shifted, lm_ctx)
+
         new_s = dict(score=top_scores, label=label, h=h, c=c,
-                     tokens=tokens, frames=frames, count=count)
+                     tokens=tokens, frames=frames, count=count,
+                     lm_ctx=lm_ctx)
         return new_s, frame_done
 
     def frame(t, s):

@@ -286,11 +286,44 @@ class GigaAMASR(GigaAM):
         log_probs = heads_lib.ctc_log_probs(params["head"], encoded)
         return log_probs.astype(jnp.float32), enc_lens
 
+    def _resolve_lm(self, lm):
+        """``lm``: NGramLM | npz path | None.  Returns (lm_obj, dev_spec)
+        where dev_spec = (table on device, base, ctx_len) for the RNNT
+        on-device beam (built once per LM object and cached)."""
+        if lm is None:
+            return None, None
+        if isinstance(lm, str):
+            from ..decode.lm import NGramLM
+
+            path_cache = getattr(self, "_lm_path_cache", None)
+            if path_cache is not None and path_cache[0] == lm:
+                lm = path_cache[1]
+            else:
+                loaded = NGramLM.load(lm)
+                self._lm_path_cache = (lm, loaded)
+                lm = loaded
+        if lm.vocab_size != len(self.tokenizer):
+            raise ValueError(
+                f"LM vocab_size {lm.vocab_size} != tokenizer vocab "
+                f"{len(self.tokenizer)} — train the LM with this model's "
+                f"tokenizer (tools/train_lm.py --model ...)")
+        is_ctc = isinstance(self.cfg.head, CTCHeadConfig)
+        if is_ctc:
+            return lm, None  # host prefix beam scores through the object
+        cached = getattr(self, "_lm_dev_cache", None)
+        if cached is not None and cached[0] is lm:
+            return lm, cached[1]
+        table = jnp.asarray(lm.dense_table())
+        spec = (table, lm.vocab_size + 1, lm.order - 1)
+        self._lm_dev_cache = (lm, spec)
+        return lm, spec
+
     def _decode_batch_submit(
         self, wavs: List[np.ndarray], word_timestamps: bool,
         beam_size: int = 1,
         pad_rows_to: int = 0,
         bucket: int = BUCKET_SAMPLES,
+        lm=None, lm_weight: float = 0.5, token_bonus: float = 0.0,
     ):
         """Start the device work for a batch; returns ``finalize()``.
 
@@ -303,7 +336,13 @@ class GigaAMASR(GigaAM):
         ``bucket`` is the duration-bucket granularity in samples; the
         server passes a coarser value than the 1 s default to shrink the
         set of compiled graphs it must warm (padded frames are masked, so
-        results are unchanged)."""
+        results are unchanged).
+
+        ``lm`` enables n-gram shallow fusion in the beam decoders
+        (``decode/lm.py``); it requires ``beam_size > 1``."""
+        if lm is not None and beam_size <= 1:
+            raise ValueError("LM shallow fusion requires beam_size > 1")
+        lm, lm_spec = self._resolve_lm(lm)
         n = len(wavs)
         if pad_rows_to > n:
             filler = np.zeros(min(len(w) for w in wavs), np.float32)
@@ -323,7 +362,9 @@ class GigaAMASR(GigaAM):
 
                 return ctc_beam_batch(tree_to_host(log_probs)[:n],
                                       tree_to_host(enc_lens)[:n],
-                                      beam_size=beam_size)
+                                      beam_size=beam_size,
+                                      lm=lm, lm_weight=lm_weight,
+                                      token_bonus=token_bonus)
         elif is_ctc:
             labels, keep, enc_lens = self._asr_fwd(
                 self.params, dev_batch, dev_lens, pos)
@@ -337,10 +378,17 @@ class GigaAMASR(GigaAM):
             if beam_size > 1:
                 from ..decode.rnnt_beam import rnnt_beam_decode
 
+                lm_kw = {}
+                if lm_spec is not None:
+                    table, base, ctx_len = lm_spec
+                    lm_kw = dict(lm_table=table, lm_base=base,
+                                 lm_ctx_len=ctx_len, lm_weight=lm_weight,
+                                 token_bonus=token_bonus)
                 tokens, frames, counts = rnnt_beam_decode(
                     self.params["head"], encoded, enc_lens,
                     beam_size=beam_size,
-                    max_symbols=self.cfg.decoding.max_symbols_per_step)
+                    max_symbols=self.cfg.decoding.max_symbols_per_step,
+                    **lm_kw)
             else:
                 tokens, frames, counts = rnnt_greedy_decode(
                     self.params["head"], encoded, enc_lens,
@@ -376,6 +424,7 @@ class GigaAMASR(GigaAM):
         beam_size: int = 1,
         pad_rows_to: int = 0,
         bucket: int = BUCKET_SAMPLES,
+        lm=None, lm_weight: float = 0.5, token_bonus: float = 0.0,
     ) -> List[Tuple[str, Optional[List[Word]]]]:
         """Batched transcribe core (reference ``model.py:96-124``).
 
@@ -393,24 +442,31 @@ class GigaAMASR(GigaAM):
         return self._decode_batch_submit(wavs, word_timestamps,
                                          beam_size=beam_size,
                                          pad_rows_to=pad_rows_to,
-                                         bucket=bucket)()
+                                         bucket=bucket, lm=lm,
+                                         lm_weight=lm_weight,
+                                         token_bonus=token_bonus)()
 
     # -- public API --------------------------------------------------------
 
     def transcribe(
         self, wav_file: str, word_timestamps: bool = False,
         beam_size: int = 1,
+        lm=None, lm_weight: float = 0.5, token_bonus: float = 0.0,
     ) -> TranscriptionResult:
         """Transcribe a short (<25 s) audio file (``model.py:126-140``).
 
         ``beam_size > 1`` enables RNNT beam search (an extension over the
-        reference, which is greedy-only)."""
+        reference, which is greedy-only).  ``lm`` (an ``NGramLM`` or a
+        saved-LM path) adds n-gram shallow fusion with weight
+        ``lm_weight`` and per-token insertion bonus ``token_bonus``."""
         wav = self.prepare_wav(wav_file)
         if len(wav) > LONGFORM_THRESHOLD_SEC * SAMPLE_RATE:
             raise ValueError(
                 "Too long wav file, use 'transcribe_longform' method.")
         text, words = self._decode_batch([wav], word_timestamps,
-                                         beam_size=beam_size)[0]
+                                         beam_size=beam_size, lm=lm,
+                                         lm_weight=lm_weight,
+                                         token_bonus=token_bonus)[0]
         return TranscriptionResult(text=text, words=words)
 
     def transcribe_longform(
@@ -420,6 +476,7 @@ class GigaAMASR(GigaAM):
         fr_batch_size: int = 16,
         beam_size: int = 1,
         bucket: int = BUCKET_SAMPLES,
+        lm=None, lm_weight: float = 0.5, token_bonus: float = 0.0,
         **kwargs,
     ) -> LongformTranscriptionResult:
         """VAD-segment + batched transcription (``model.py:195-259``).
@@ -445,7 +502,8 @@ class GigaAMASR(GigaAM):
             return (i, self._decode_batch_submit(
                 segments[i: i + fr_batch_size], word_timestamps,
                 beam_size=beam_size, pad_rows_to=fr_batch_size,
-                bucket=bucket))
+                bucket=bucket, lm=lm, lm_weight=lm_weight,
+                token_bonus=token_bonus))
 
         from collections import deque
 

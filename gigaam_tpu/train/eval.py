@@ -28,6 +28,12 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--beam_size", type=int, default=1,
                    help="beam width (1 = greedy; RNNT on-device beam / "
                         "CTC prefix beam)")
+    p.add_argument("--lm", default=None,
+                   help="n-gram LM (tools/train_lm.py npz) for shallow "
+                        "fusion; requires --beam_size > 1")
+    p.add_argument("--lm_weight", type=float, default=0.5)
+    p.add_argument("--token_bonus", type=float, default=0.0,
+                   help="per-token insertion bonus added with the LM score")
     p.add_argument("--download_root", default=None,
                    help="cache dir for named models (default "
                         "~/.cache/gigaam_tpu)")
@@ -59,7 +65,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         wav_list = [wavs_pad[i, : lens[i]] for i in range(len(lens))]
         finalize = model._decode_batch_submit(
             wav_list, word_timestamps=False, beam_size=args.beam_size,
-            pad_rows_to=args.batch_size)
+            pad_rows_to=args.batch_size, lm=args.lm,
+            lm_weight=args.lm_weight, token_bonus=args.token_bonus)
         if pending is not None:
             hyps.extend(t for t, _ in pending())
         pending = finalize
