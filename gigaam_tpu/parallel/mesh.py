@@ -118,13 +118,16 @@ def encoder_pspecs(params: Dict[str, Any], attention: str,
 
 def params_pspecs(params: Dict[str, Any], attention: str,
                   conv_norm_type: str = "batch_norm") -> Dict[str, Any]:
-    """Full model param PartitionSpecs: TP encoder, replicated heads."""
+    """Full model param PartitionSpecs: TP encoder; every other top-level
+    subtree (ASR/emo heads, SSL pretraining head + frozen quantizer)
+    replicated."""
     specs: Dict[str, Any] = {
         "encoder": encoder_pspecs(params["encoder"], attention,
                                   conv_norm_type)
     }
-    if "head" in params:
-        specs["head"] = jax.tree.map(lambda _: P(), params["head"])
+    for key, sub in params.items():
+        if key != "encoder":
+            specs[key] = jax.tree.map(lambda _: P(), sub)
     return specs
 
 

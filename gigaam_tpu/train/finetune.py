@@ -79,10 +79,13 @@ def _is_bn_buffer(path: Tuple[Any, ...]) -> bool:
     return "batch_norm" in keys and keys[-1] in ("mean", "var")
 
 
-def _label_params(params: Dict[str, Any], freeze_encoder: bool):
+def _label_params(params: Dict[str, Any], freeze_encoder: bool,
+                  extra_frozen=None):
     """'train' vs 'frozen' labels for optax.multi_transform."""
     def label(path, _):
         if _is_bn_buffer(path):
+            return "frozen"
+        if extra_frozen is not None and extra_frozen(path):
             return "frozen"
         keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
         if freeze_encoder and keys and keys[0] == "encoder":
@@ -129,12 +132,19 @@ def host_lr_schedule(tc: TrainConfig):
 
 
 
-class FineTuner:
-    """Training driver around a GigaAMASR model."""
+class TrainerBase:
+    """Shared training machinery: optimizer build, mesh sharding, jitted
+    train step, npz checkpointing.  Subclasses define the objective
+    (``_forward_loss``), the batch arity, and any extra trainable params
+    (``FineTuner`` for CTC/RNNT, ``train.pretrain.SSLPretrainer`` for
+    BEST-RQ self-supervised pretraining)."""
+
+    #: number of arrays in one batch tuple (shardings are built per slot)
+    batch_arity: int = 4
 
     def __init__(
         self,
-        model: GigaAMASR,
+        model,
         tc: TrainConfig,
         mesh: Optional[Mesh] = None,
     ):
@@ -146,10 +156,6 @@ class FineTuner:
         # a second PosTables would double the host table memory)
         self.frontend = model.frontend
         self.pos_tables = model.pos_tables
-        self.blank_id = model.blank_id
-        self.mode = "ctc" if isinstance(self.cfg.head, CTCHeadConfig) else "rnnt"
-        if self.mode == "rnnt":
-            assert isinstance(self.cfg.head, RNNTHeadConfig)
 
         enc_cfg = dataclasses.replace(
             self.cfg.encoder,
@@ -157,9 +163,9 @@ class FineTuner:
             remat_policy=tc.remat_policy)
         self.enc_cfg = enc_cfg
 
-        self.optimizer, self.schedule = self._build_optimizer(model.params, tc)
+        params = self._init_params(model.params)
+        self.optimizer, self.schedule = self._build_optimizer(params, tc)
         self._host_lr = host_lr_schedule(tc)
-        params = model.params
         if mesh is not None:
             self.pspecs = params_pspecs(
                 params, enc_cfg.self_attention_model, enc_cfg.conv_norm_type)
@@ -170,9 +176,24 @@ class FineTuner:
         self._train_step_jit = self._build_train_step()
         self._eval_loss_jit = self._build_eval_step()
 
+    # hooks ------------------------------------------------------------
+
+    def _init_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Subclasses may extend the trainable tree (extra heads etc.)."""
+        return params
+
+    def _frozen_label(self, path: Tuple[Any, ...]) -> bool:
+        """Extra frozen-param predicate beyond BN buffers/freeze_encoder."""
+        return False
+
+    def _forward_loss(self, params, batch, rng, train: bool):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+
     def _build_optimizer(self, params, tc: TrainConfig):
         adamw, schedule = make_optimizer(tc)
-        labels = _label_params(params, tc.freeze_encoder)
+        labels = _label_params(params, tc.freeze_encoder, self._frozen_label)
         opt = optax.multi_transform(
             {"train": adamw, "frozen": optax.set_to_zero()}, labels)
         if tc.accumulate_grad_batches > 1:
@@ -182,48 +203,8 @@ class FineTuner:
         return opt, schedule
 
     # ------------------------------------------------------------------
-    # forward / loss
+    # shared forward helpers
     # ------------------------------------------------------------------
-
-    def _forward_loss(self, params, batch, rng, train: bool):
-        wavs, wav_lens, tokens, tok_lens = batch
-        compute_dtype = (jnp.bfloat16 if self.tc.precision == "bf16"
-                         else jnp.float32)
-        feats, feat_lens = self.frontend.forward(wavs, wav_lens)  # [B, F, T]
-        if train and self.tc.spec_augment:
-            feats = spec_augment(
-                rng, feats,
-                self.tc.freq_masks, self.tc.freq_width,
-                self.tc.time_masks, self.tc.time_width)
-        feats = jnp.transpose(feats, (0, 2, 1))
-        t_feat = feats.shape[1]
-        t_sub = self._static_t_sub(t_feat)
-        pos = self._pos(t_sub)
-        bn_train = train and not self.tc.freeze_encoder
-        encoded, enc_lens, bn_stats = conformer_forward(
-            params["encoder"], feats, feat_lens, self.enc_cfg, pos,
-            compute_dtype=compute_dtype, train=bn_train)
-
-        if self.mode == "ctc":
-            # raw logits: optax.ctc_loss log-softmaxes internally, so
-            # feeding pre-normalized log-probs would normalize twice
-            logits = heads_lib.ctc_logits(params["head"], encoded)
-            loss = ctc_loss(logits, enc_lens, tokens, tok_lens,
-                            self.blank_id)
-        else:
-            u1 = tokens.shape[1] + 1
-            # tok_lens=0 (empty transcript) is valid — the loss trains pure
-            # blank emission; clamping it up to 1 would instead train the
-            # model to hallucinate token 0 on empty-label audio
-            loss = rnnt_loss(
-                params["head"], encoded.astype(jnp.float32), tokens,
-                # no min-clip: zero-length (pad) rows must reach the loss
-                # as 0 so it masks them out of the batch mean
-                jnp.minimum(enc_lens, encoded.shape[1]),
-                jnp.clip(tok_lens, 0, u1 - 1),
-                blank_id=self.blank_id,
-                time_chunk=self.tc.rnnt_time_chunk)
-        return loss, (bn_stats, encoded, enc_lens)
 
     def _loss_eval(self, params, batch):
         loss, (_, encoded, enc_lens) = self._forward_loss(
@@ -268,7 +249,8 @@ class FineTuner:
         repl = NamedSharding(self.mesh, P())
         return jax.jit(
             self._train_step_impl,
-            in_shardings=(param_sh, None, (batch_sh,) * 4, repl),
+            in_shardings=(param_sh, None, (batch_sh,) * self.batch_arity,
+                          repl),
             out_shardings=(param_sh, None, repl, repl),
         )
 
@@ -281,7 +263,8 @@ class FineTuner:
         param_sh = to_named(self.mesh, self.pspecs)
         batch_sh = NamedSharding(self.mesh, batch_pspec())
         return jax.jit(self._loss_eval,
-                       in_shardings=(param_sh, (batch_sh,) * 4))
+                       in_shardings=(param_sh,
+                                     (batch_sh,) * self.batch_arity))
 
     # ------------------------------------------------------------------
     # public API
@@ -410,6 +393,76 @@ class FineTuner:
         self.step = int(meta["step"])
         self.sync_model()
 
+    def sync_model(self) -> None:
+        """Write trained params back into the wrapped model."""
+        self.model.params = self.params
+
+
+class FineTuner(TrainerBase):
+    """CTC / RNNT fine-tuning driver around a GigaAMASR model
+    (reference ``train_utils/module.py:16-271``)."""
+
+    def __init__(
+        self,
+        model: GigaAMASR,
+        tc: TrainConfig,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.blank_id = model.blank_id
+        self.mode = ("ctc" if isinstance(model.cfg.head, CTCHeadConfig)
+                     else "rnnt")
+        if self.mode == "rnnt":
+            assert isinstance(model.cfg.head, RNNTHeadConfig)
+        super().__init__(model, tc, mesh)
+
+    # ------------------------------------------------------------------
+    # forward / loss
+    # ------------------------------------------------------------------
+
+    def _forward_loss(self, params, batch, rng, train: bool):
+        wavs, wav_lens, tokens, tok_lens = batch
+        compute_dtype = (jnp.bfloat16 if self.tc.precision == "bf16"
+                         else jnp.float32)
+        feats, feat_lens = self.frontend.forward(wavs, wav_lens)  # [B, F, T]
+        if train and self.tc.spec_augment:
+            feats = spec_augment(
+                rng, feats,
+                self.tc.freq_masks, self.tc.freq_width,
+                self.tc.time_masks, self.tc.time_width)
+        feats = jnp.transpose(feats, (0, 2, 1))
+        t_feat = feats.shape[1]
+        t_sub = self._static_t_sub(t_feat)
+        pos = self._pos(t_sub)
+        bn_train = train and not self.tc.freeze_encoder
+        encoded, enc_lens, bn_stats = conformer_forward(
+            params["encoder"], feats, feat_lens, self.enc_cfg, pos,
+            compute_dtype=compute_dtype, train=bn_train)
+
+        if self.mode == "ctc":
+            # raw logits: optax.ctc_loss log-softmaxes internally, so
+            # feeding pre-normalized log-probs would normalize twice
+            logits = heads_lib.ctc_logits(params["head"], encoded)
+            loss = ctc_loss(logits, enc_lens, tokens, tok_lens,
+                            self.blank_id)
+        else:
+            u1 = tokens.shape[1] + 1
+            # tok_lens=0 (empty transcript) is valid — the loss trains pure
+            # blank emission; clamping it up to 1 would instead train the
+            # model to hallucinate token 0 on empty-label audio
+            loss = rnnt_loss(
+                params["head"], encoded.astype(jnp.float32), tokens,
+                # no min-clip: zero-length (pad) rows must reach the loss
+                # as 0 so it masks them out of the batch mean
+                jnp.minimum(enc_lens, encoded.shape[1]),
+                jnp.clip(tok_lens, 0, u1 - 1),
+                blank_id=self.blank_id,
+                time_chunk=self.tc.rnnt_time_chunk)
+        return loss, (bn_stats, encoded, enc_lens)
+
+    # ------------------------------------------------------------------
+    # eval / decode
+    # ------------------------------------------------------------------
+
     def eval_step(self, batch) -> Tuple[float, List[str]]:
         """Returns (loss, hypotheses) for a batch."""
         batch = tuple(jnp.asarray(x) for x in batch)
@@ -437,7 +490,3 @@ class FineTuner:
             for i in range(len(hyps))
         ]
         return wer_counts(hyps, refs)
-
-    def sync_model(self) -> None:
-        """Write trained params back into the wrapped model."""
-        self.model.params = self.params
