@@ -77,12 +77,16 @@ class BatchingASRServer:
     def __init__(self, model: GigaAMASR, max_batch: int = 8,
                  batch_window_ms: float = 15.0, beam_size: int = 1,
                  max_queue: int = 256, bucket_seconds: int = 5,
-                 longform_batch: int = 16):
+                 longform_batch: int = 16, lm=None, lm_weight: float = 0.5,
+                 token_bonus: float = 0.0):
         self.model = model
         self.max_batch = max_batch
         # server-wide (not per-request): mixed beam sizes would fragment
-        # batches and multiply compiled graphs
+        # batches and multiply compiled graphs; same for the fusion LM
         self.beam_size = beam_size
+        self.lm_kw = (dict(lm=lm, lm_weight=lm_weight,
+                           token_bonus=token_bonus)
+                      if lm is not None else {})
         # serving pads durations to coarse buckets (default 5 s vs the
         # offline path's 1 s): 25 reachable graphs per row count would take
         # ~minutes each to cold-compile for the 220M models, while padded
@@ -144,14 +148,16 @@ class BatchingASRServer:
             self.model._decode_batch([wav], word_timestamps=False,
                                      beam_size=self.beam_size,
                                      pad_rows_to=self.max_batch,
-                                     bucket=self.bucket_samples)
+                                     bucket=self.bucket_samples,
+                                     **self.lm_kw)
         for s in long:
             wav = (0.01 * rng.standard_normal(SAMPLE_RATE * s)
                    ).astype(np.float32)
             self.model._decode_batch([wav], word_timestamps=False,
                                      beam_size=self.beam_size,
                                      pad_rows_to=self.longform_batch,
-                                     bucket=self.bucket_samples)
+                                     bucket=self.bucket_samples,
+                                     **self.lm_kw)
 
     def submit(self, wav: np.ndarray, timestamps: bool,
                timeout: float = 120.0) -> _Request:
@@ -233,7 +239,7 @@ class BatchingASRServer:
             finalize = self.model._decode_batch_submit(
                 [r.wav for r in batch], word_timestamps=want_ts,
                 beam_size=self.beam_size, pad_rows_to=self.max_batch,
-                bucket=self.bucket_samples)
+                bucket=self.bucket_samples, **self.lm_kw)
             return batch, finalize
         except Exception as exc:  # surface per-request, keep serving
             self._fail(batch, exc)
@@ -436,7 +442,8 @@ def make_handler(server: BatchingASRServer,
                         wav, word_timestamps=ts,
                         fr_batch_size=server.longform_batch,
                         beam_size=server.beam_size,
-                        bucket=server.bucket_samples)
+                        bucket=server.bucket_samples,
+                        **server.lm_kw)
                 except Exception as exc:
                     self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
                     return
@@ -481,6 +488,11 @@ def main(argv=None) -> None:
                     help="reject request bodies larger than this (413)")
     ap.add_argument("--beam_size", type=int, default=1,
                     help="beam width (1 = greedy; RNNT on-device beam / CTC prefix beam)")
+    ap.add_argument("--lm", default=None,
+                    help="n-gram LM npz (tools/train_lm.py) for shallow "
+                         "fusion; requires --beam_size > 1")
+    ap.add_argument("--lm_weight", type=float, default=0.5)
+    ap.add_argument("--token_bonus", type=float, default=0.0)
     args = ap.parse_args(argv)
 
     import gigaam_tpu
@@ -490,7 +502,9 @@ def main(argv=None) -> None:
     server = BatchingASRServer(model, args.max_batch, args.batch_window_ms,
                                beam_size=args.beam_size,
                                bucket_seconds=args.bucket_seconds,
-                               longform_batch=args.longform_batch)
+                               longform_batch=args.longform_batch,
+                               lm=args.lm, lm_weight=args.lm_weight,
+                               token_bonus=args.token_bonus)
     if args.warmup_seconds is None or args.warmup_seconds:
         print(f"warming up "
               f"{args.warmup_seconds if args.warmup_seconds else 'all buckets'}...")

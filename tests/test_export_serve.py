@@ -663,3 +663,30 @@ def test_server_stream_decodes_ride_the_batch_queue(ctc_model):
         ctc_model._decode_batch_submit = orig
         httpd.shutdown()
         server.shutdown()
+
+
+def test_server_lm_fusion(ctc_model):
+    """Server-wide LM shallow fusion plumbs into every decode call."""
+    from gigaam_tpu.decode.lm import NGramLM
+
+    lm = NGramLM.train([[0, 1, 2]] * 5,
+                       vocab_size=len(ctc_model.tokenizer), order=2)
+    server = BatchingASRServer(ctc_model, max_batch=2, batch_window_ms=5.0,
+                               beam_size=4, lm=lm, lm_weight=0.3)
+    try:
+        seen = []
+        orig = ctc_model._decode_batch_submit
+
+        def spy(wavs, *a, **kw):
+            seen.append((kw.get("beam_size"), kw.get("lm") is not None))
+            return orig(wavs, *a, **kw)
+
+        ctc_model._decode_batch_submit = spy
+        wav = (0.1 * np.random.default_rng(5)
+               .standard_normal(8000)).astype(np.float32)
+        req = server.submit(wav, timestamps=False)
+        assert req.error is None and req.result["text"] is not None
+        assert seen == [(4, True)], seen
+    finally:
+        ctc_model._decode_batch_submit = orig
+        server.shutdown()
