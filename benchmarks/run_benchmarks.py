@@ -244,14 +244,16 @@ def main() -> None:
 
         from gigaam_tpu.train.finetune import FineTuner, TrainConfig
 
-        def time_train(kind: str, b: int, sec: int) -> None:
+        def time_train(kind: str, b: int, sec: int,
+                       remat_policy: str = "full", tag: str = "") -> None:
             name = kind if kind.startswith("v") else f"v3_{kind}"
             model_t = load_model(name, init="random")
             # remat keeps bs8 x 20 s within a single 16 GB chip (the
             # reference needs activation checkpointing for 24 GB GPUs too)
             tc = TrainConfig(lr=1e-5, total_steps=100, precision="bf16",
                              spec_augment=False,
-                             activation_checkpointing=True)
+                             activation_checkpointing=True,
+                             remat_policy=remat_policy)
             ft = FineTuner(model_t, tc)
             u = 32
             wavs = np.stack([(0.1 * rng.standard_normal(16000 * sec))
@@ -283,14 +285,22 @@ def main() -> None:
                 float(loss)
                 ts.append(time.perf_counter() - t0)
             dt = min(ts) / k
-            results[f"train_{kind}_step_b{b}_{sec}s"] = {
+            results[f"train_{kind}{tag}_step_b{b}_{sec}s"] = {
                 "ms": round(dt * 1e3, 1),
                 "audio_s_per_s": round(b * sec / dt, 0)}
-            print(f"train {kind} step b{b} {sec}s: {dt * 1e3:.1f} ms  "
+            print(f"train {kind}{tag} step b{b} {sec}s: {dt * 1e3:.1f} ms  "
                   f"({b * sec / dt:.0f} audio-s trained/s/chip)")
 
         time_train("ctc", 8, 20)
         if not args.quick:
+            # 'dots' remat (save matmul outputs in backward): trades HBM
+            # for recompute; OOM at this batch is a valid finding
+            try:
+                time_train("ctc", 8, 20, remat_policy="dots", tag="_dots")
+            except Exception as exc:
+                results["train_ctc_dots_step_b8_20s"] = {
+                    "error": f"{type(exc).__name__}: {exc}"[:200]}
+                print(f"train ctc dots: failed ({type(exc).__name__})")
             time_train("rnnt", 8, 20)
             # rel-pos generation: exercises the fused rel-pos kernel's
             # Pallas backward (shear/unshear in VMEM)

@@ -59,17 +59,21 @@ def main() -> None:
         tag = f"b{bs}"
         res = {}
 
-        # ---- full forward
-        def full(w):
+        # ---- full forward.  Params ride as a runtime argument, not a
+        # closure constant: closed-over arrays serialize into the remote
+        # compile request and 220M fp32 params overflow its body limit
+        # (HTTP 413) — same constraint as __graft_entry__.entry.
+        def full(p, w):
             labels, keep, enc_lens = model._ctc_forward_impl(
-                model.params, w, lens, pos)
+                p, w, lens, pos)
             return labels, enc_lens
 
         def want(name):
             return args.only is None or name in args.only
 
         if want("full"):
-            res["full_fwd_ms"] = device_timeit(full, [batch], k=20) * 1e3
+            res["full_fwd_ms"] = device_timeit(
+                full, [model.params, batch], perturb_arg=1, k=20) * 1e3
             print("full done", flush=True)
 
         # ---- frontend ([B, F, T] output; encoder takes [B, T, F])

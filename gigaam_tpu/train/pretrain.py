@@ -125,11 +125,14 @@ class SSLPretrainer(TrainerBase):
             jnp.sum(jnp.square(z), axis=-1, keepdims=True) + 1e-12)
         sims = z @ params["quantizer"]["codebook"].T     # cosine similarity
         ids = jnp.argmax(sims, axis=-1).astype(jnp.int32)
-        # pad to t_sub (conv padding can make t_sub > floor(t_feat/stack))
-        pad = t_sub - ids.shape[1]
+        n_codes = ids.shape[1]
+        # pad to t_sub (conv padding can make t_sub > floor(t_feat/stack));
+        # padded positions carry no real target — the loss masks them out
+        # via the returned coverage bound
+        pad = t_sub - n_codes
         if pad > 0:
             ids = jnp.pad(ids, ((0, 0), (0, pad)))
-        return ids[:, :t_sub]
+        return ids[:, :t_sub], min(n_codes, t_sub)
 
     def _sample_mask(self, rng, b, t_sub, sub_lens):
         """Span mask on the subsampled grid: [B, t_sub] bool."""
@@ -157,8 +160,8 @@ class SSLPretrainer(TrainerBase):
                                      enc.subs_kernel_size)
         pos = self._pos(t_sub)
 
-        targets = self._targets(params, feats.astype(jnp.float32),
-                                feat_lens, t_sub)
+        targets, n_codes = self._targets(params, feats.astype(jnp.float32),
+                                         feat_lens, t_sub)
         targets = jax.lax.stop_gradient(targets)
 
         rng_mask, rng_noise = jax.random.split(rng)
@@ -185,7 +188,7 @@ class SSLPretrainer(TrainerBase):
         ce = -jnp.take_along_axis(logp, targets[:, :, None],
                                   axis=-1)[:, :, 0]
         active = mask_sub & (jnp.arange(t_sub)[None, :]
-                             < jnp.minimum(enc_lens, t_sub)[:, None])
+                             < jnp.minimum(enc_lens, n_codes)[:, None])
         denom = jnp.maximum(active.sum(), 1)
         loss = jnp.where(active, ce, 0.0).sum() / denom
         correct = (jnp.argmax(logits, axis=-1) == targets) & active

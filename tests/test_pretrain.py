@@ -58,10 +58,11 @@ def test_targets_deterministic_and_in_range():
                                            jnp.asarray(lens))
     feats = jnp.transpose(feats, (0, 2, 1)).astype(jnp.float32)
     t_sub = pt._static_t_sub(feats.shape[1])
-    t1 = pt._targets(pt.params, feats, feat_lens, t_sub)
-    t2 = pt._targets(pt.params, feats, feat_lens, t_sub)
+    t1, n_codes = pt._targets(pt.params, feats, feat_lens, t_sub)
+    t2, _ = pt._targets(pt.params, feats, feat_lens, t_sub)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     assert t1.shape == (2, t_sub)
+    assert 0 < n_codes <= t_sub
     ids = np.asarray(t1)
     assert ids.min() >= 0 and ids.max() < pt.pc.codebook_size
     # structure check: the codes must not collapse to a single id
