@@ -34,7 +34,7 @@ def main() -> None:
                     help="also time fine-tune steps (CTC bf16, bs8 x 20 s)")
     ap.add_argument("--only", default=None,
                     choices=["attention", "ctc", "rnnt", "relpos", "emo",
-                             "encoder128", "train"],
+                             "encoder128", "train", "pretrain"],
                     help="run a single section")
     args = ap.parse_args()
 
@@ -305,6 +305,50 @@ def main() -> None:
             # rel-pos generation: exercises the fused rel-pos kernel's
             # Pallas backward (shear/unshear in VMEM)
             time_train("v2_ctc", 8, 20)
+
+    # ---- BEST-RQ SSL pretrain step (no reference anchor: the reference
+    # has no pretraining code; metric is audio-seconds pretrained /s/chip)
+    if (args.train or args.only == "pretrain") and want("pretrain"):
+        import time
+
+        from gigaam_tpu.train.pretrain import PretrainConfig, SSLPretrainer
+
+        model_p = load_model("v3_ssl", init="random")
+        pc = PretrainConfig(lr=1e-4, total_steps=100, precision="bf16",
+                            activation_checkpointing=True)
+        pt = SSLPretrainer(model_p, pc)
+        b, sec = 8, 20
+        wavs = np.stack([(0.1 * rng.standard_normal(16000 * sec))
+                         .astype(np.float32) for _ in range(b)])
+        lens = np.full((b,), 16000 * sec, np.int32)
+        batch = (jnp.asarray(wavs), jnp.asarray(lens))
+        rng_key = jax.random.PRNGKey(0)
+        k = 3 if args.quick else 4
+
+        @jax.jit
+        def run_kp(params, opt_state, w):
+            def body(i, carry):
+                p, o, _ = carry
+                bi = (w + (1e-7 * i).astype(w.dtype), batch[1])
+                p, o, loss, _ = pt._train_step_impl(p, o, bi, rng_key)
+                return p, o, loss
+            return jax.lax.fori_loop(
+                0, k, body, (params, opt_state, jnp.float32(0)))
+
+        p2, o2, loss = run_kp(pt.params, pt.opt_state, batch[0])  # compile
+        jax.block_until_ready(loss)
+        ts = []
+        for v in (p2, pt.params, p2):
+            t0 = time.perf_counter()
+            _, _, loss = run_kp(v, o2, batch[0])
+            float(loss)
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts) / k
+        results[f"pretrain_bestrq_step_b{b}_{sec}s"] = {
+            "ms": round(dt * 1e3, 1),
+            "audio_s_per_s": round(b * sec / dt, 0)}
+        print(f"pretrain BEST-RQ step b{b} {sec}s: {dt * 1e3:.1f} ms  "
+              f"({b * sec / dt:.0f} audio-s pretrained/s/chip)")
 
     if args.json:
         with open(args.json, "w") as f:

@@ -28,6 +28,7 @@ if os.environ.get("GIGAAM_TPU_NO_COMPILE_CACHE",
 
 from .audio import format_time, load_audio
 from .config import RU_VOCAB, SAMPLE_RATE, ModelConfig, make_preset
+from .decode.lm import NGramLM, train_lm_from_texts
 from .models.model import (
     GigaAM,
     GigaAMASR,
@@ -64,6 +65,8 @@ __all__ = [
     "load_vad_regions_fn",
     "StreamingTranscriber",
     "stream_file",
+    "NGramLM",
+    "train_lm_from_texts",
 ]
 
 _CACHE_DIR = os.path.expanduser("~/.cache/gigaam_tpu")
