@@ -118,6 +118,30 @@ def test_eval_cli(dataset_dir, tiny_model_artifact, tmp_path, capsys):
     assert preds[0]["reference"] == "аб ва"
 
 
+def test_eval_cli_with_lm(dataset_dir, tiny_model_artifact, tmp_path,
+                          capsys):
+    """--beam_size + --lm shallow fusion through the eval CLI."""
+    from gigaam_tpu.decode.lm import train_lm_from_texts
+
+    _, manifest = dataset_dir
+    tok = gigaam_tpu.load_model(tiny_model_artifact).tokenizer
+    lm = train_lm_from_texts(["аб ва", "ба гд"], tok, order=2)
+    lm_path = str(tmp_path / "lm.npz")
+    lm.save(lm_path)
+    out = str(tmp_path / "preds_lm.jsonl")
+    eval_cli.main([
+        "--model_name", tiny_model_artifact,
+        "--manifest", manifest,
+        "--batch_size", "2",
+        "--beam_size", "4",
+        "--lm", lm_path,
+        "--lm_weight", "0.3",
+        "--out", out,
+    ])
+    assert "WER (e2e)" in capsys.readouterr().out
+    assert len([json.loads(l) for l in open(out)]) == 4
+
+
 def test_grad_accumulation_equivalence():
     """k micro-batches with accumulation ~= 1 full batch step."""
     import jax
