@@ -54,6 +54,9 @@ class NGramLM:
         self._counts: List[Dict[int, Dict[int, int]]] = [
             {} for _ in range(order)]
         self._logp_cache: Dict[Tuple[int, int], float] = {}
+        # bumped on every mutation so table caches (e.g. the model's
+        # on-device dense table) can detect staleness
+        self.version = 0
 
     # -- context packing ---------------------------------------------------
     # base = V+1 (tokens + BOS); most recent token in the LOW digit:
@@ -88,6 +91,7 @@ class NGramLM:
         if any(t < 0 or t >= self.vocab_size for t in toks):
             raise ValueError("token id out of range for this LM's vocab")
         self._logp_cache.clear()
+        self.version += 1
         for i, w in enumerate(toks):
             for k in range(self.order):
                 ctx = toks[max(0, i - k):i]

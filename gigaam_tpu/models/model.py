@@ -310,12 +310,14 @@ class GigaAMASR(GigaAM):
         is_ctc = isinstance(self.cfg.head, CTCHeadConfig)
         if is_ctc:
             return lm, None  # host prefix beam scores through the object
+        version = getattr(lm, "version", None)
         cached = getattr(self, "_lm_dev_cache", None)
-        if cached is not None and cached[0] is lm:
-            return lm, cached[1]
+        if (cached is not None and cached[0] is lm
+                and cached[1] == version):
+            return lm, cached[2]
         table = jnp.asarray(lm.dense_table())
         spec = (table, lm.vocab_size + 1, lm.order - 1)
-        self._lm_dev_cache = (lm, spec)
+        self._lm_dev_cache = (lm, version, spec)
         return lm, spec
 
     def _decode_batch_submit(
