@@ -150,6 +150,11 @@ class NGramLM:
             self._logp_cache[key] = hit
         return hit
 
+    def num_counted_ngrams(self) -> int:
+        """Total distinct (context, token) pairs counted across orders."""
+        return sum(sum(len(v) for v in level.values())
+                   for level in self._counts)
+
     def score_sequence(self, tokens: Sequence[int]) -> float:
         """Sum log p over a sequence (BOS-padded start)."""
         total = 0.0

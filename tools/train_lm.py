@@ -97,10 +97,8 @@ def main() -> None:
 
     lm = train_lm_from_texts(texts(), tokenizer, order=args.order)
     lm.save(args.out)
-    n_grams = sum(sum(len(v) for v in level.values())
-                  for level in lm._counts)
     print(f"saved order-{lm.order} LM over {lm.vocab_size} tokens "
-          f"({n_grams} counted n-grams) -> {args.out}")
+          f"({lm.num_counted_ngrams()} counted n-grams) -> {args.out}")
 
 
 if __name__ == "__main__":
