@@ -190,6 +190,21 @@ def test_golden_transcripts_e2e(name):
     assert str(result) == E2E_TEXT[name]
 
 
+@pytest.mark.parametrize("name", ["v3_ctc", "v3_rnnt"])
+def test_golden_beam_and_lm_preserve_transcript(name):
+    """On clear audio with trained weights, beam search must agree with
+    greedy (the golden transcript), and shallow fusion with an in-domain
+    LM (trained on the transcript itself) must not perturb it."""
+    from gigaam_tpu.decode.lm import train_lm_from_texts
+
+    model = _model(name)
+    wav = _audio("example.wav")
+    assert str(model.transcribe(wav, beam_size=8)) == ASR_TEXT
+    lm = train_lm_from_texts([ASR_TEXT], model.tokenizer, order=3)
+    fused = model.transcribe(wav, beam_size=8, lm=lm, lm_weight=0.3)
+    assert str(fused) == ASR_TEXT
+
+
 def test_golden_emo_probs():
     model = _model("emo")
     probs = model.get_probs(_audio("example.wav"))
