@@ -178,9 +178,10 @@ class SSLPretrainer(TrainerBase):
             rng_noise, feats.shape, feats.dtype)
         feats_in = jnp.where(mask_feat[:, :, None], noise, feats)
 
+        bn_train = train and not pc.freeze_encoder
         encoded, enc_lens, bn_stats = conformer_forward(
             params["encoder"], feats_in, feat_lens, enc, pos,
-            compute_dtype=compute_dtype, train=train)
+            compute_dtype=compute_dtype, train=bn_train)
 
         h = params["ssl_head"]
         logits = (encoded.astype(jnp.float32) @ h["w"] + h["b"])
