@@ -108,7 +108,10 @@ def ctc_prefix_beam(
         rank = np.maximum(ext_score, col_score)
 
         flat = rank.ravel()
-        m = min(merge_cap * beam_size, flat.size)
+        # Cap selection ranks by acoustic score only; under shallow fusion
+        # an LM-favored extension could be dropped before the fused ranking
+        # ever sees it, so the cap never binds when an LM is active.
+        m = flat.size if use_lm else min(merge_cap * beam_size, flat.size)
         if m < flat.size:
             sel = np.argpartition(flat, -m)[-m:]
         else:

@@ -35,6 +35,10 @@ import numpy as np
 _MAX_DENSE_ELEMS = 1 << 26
 
 
+def _npz_path(path: str) -> str:
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 class NGramLM:
     """Interpolated Witten–Bell backoff n-gram LM over token ids.
 
@@ -242,11 +246,13 @@ class NGramLM:
             arrays[f"cnt_{k}"] = np.asarray(cnts, np.int64)
         arrays["meta"] = np.frombuffer(
             json.dumps(meta).encode("utf-8"), np.uint8)
-        np.savez_compressed(path, **arrays)
+        # np.savez_compressed appends ".npz" when absent; normalize so
+        # save(p) and load(p) always agree on the on-disk name.
+        np.savez_compressed(_npz_path(path), **arrays)
 
     @classmethod
     def load(cls, path: str) -> "NGramLM":
-        with np.load(path) as z:
+        with np.load(_npz_path(path)) as z:
             meta = json.loads(bytes(z["meta"]).decode("utf-8"))
             if meta.get("format") != "gigaam_tpu_ngram_v1":
                 raise ValueError(f"{path} is not a gigaam_tpu n-gram LM")

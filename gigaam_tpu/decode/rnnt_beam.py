@@ -91,7 +91,12 @@ def rnnt_beam_decode(
     enc_len = jnp.clip(enc_len, 0, t_max)
     enc_proj = rnnt_joint_enc_proj(params, encoded.astype(jnp.float32))
 
-    use_lm = lm_table is not None and lm_ctx_len >= 0 and lm_base > 0
+    if lm_table is not None and (lm_base <= 0 or lm_ctx_len < 0):
+        raise ValueError(
+            "lm_table given but lm_base/lm_ctx_len not set — pass the "
+            "(table, base, ctx_len) triple from NGramLM.dense_table; "
+            "silently ignoring the table would decode without fusion")
+    use_lm = lm_table is not None
     # all-BOS initial context: BOS = lm_base-1 in every digit
     init_ctx = (lm_base ** lm_ctx_len - 1) if use_lm else 0
     ctx_mod = (lm_base ** max(lm_ctx_len - 1, 0)) if use_lm else 1

@@ -494,6 +494,9 @@ def main(argv=None) -> None:
     ap.add_argument("--lm_weight", type=float, default=0.5)
     ap.add_argument("--token_bonus", type=float, default=0.0)
     args = ap.parse_args(argv)
+    if args.lm and args.beam_size <= 1:
+        ap.error("--lm requires --beam_size > 1 (shallow fusion biases "
+                 "beam selection; greedy has nothing to bias)")
 
     import gigaam_tpu
 

@@ -204,6 +204,52 @@ def test_ctc_prefix_beam_respects_length():
     assert trunc == also
 
 
+def test_ctc_prefix_beam_merge_cap_binds_harmlessly():
+    """At realistic shapes (V=40, beam 8, prune_vocab 16) the default
+    merge_cap=4 DOES bind (128 candidate cells vs cap 32).  On peaky,
+    trained-model-like posteriors the pruned decode must equal the
+    unpruned one — the cap drops only low-scoring summands."""
+    from gigaam_tpu.decode.ctc_beam import ctc_prefix_beam
+
+    rng = np.random.default_rng(7)
+    t_max, v = 60, 40
+    for trial in range(8):
+        # peaky: one dominant symbol per frame plus noise, like a trained
+        # CTC head (blank-dominant most frames)
+        logits = rng.standard_normal((t_max, v))
+        hot = rng.integers(0, v, t_max)
+        hot[rng.random(t_max) < 0.6] = v - 1  # blank-dominant
+        logits[np.arange(t_max), hot] += 6.0
+        lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+        capped, cf = ctc_prefix_beam(lp, beam_size=8, prune_vocab=16,
+                                     merge_cap=4)
+        full, ff = ctc_prefix_beam(lp, beam_size=8, prune_vocab=16,
+                                   merge_cap=10**9)
+        assert capped == full, f"trial {trial}: {capped} vs {full}"
+        assert cf == ff
+
+
+def test_ctc_prefix_beam_lm_ignores_merge_cap():
+    """Under shallow fusion the acoustic-only merge cap must not bind:
+    merge_cap=1 (absurdly tight) and merge_cap=inf must decode the same
+    because fusion disables the cap."""
+    from gigaam_tpu.decode.ctc_beam import ctc_prefix_beam
+    from gigaam_tpu.decode.lm import NGramLM
+
+    rng = np.random.default_rng(11)
+    t_max, v = 20, 12
+    lm = NGramLM.train([[1, 2, 3], [1, 2, 4], [1, 2, 3]],
+                       vocab_size=v - 1, order=3)
+    logits = rng.standard_normal((t_max, v)) * 2.0
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    tight, _ = ctc_prefix_beam(lp, beam_size=8, lm=lm, lm_weight=0.5,
+                               merge_cap=1)
+    loose, _ = ctc_prefix_beam(lp, beam_size=8, lm=lm, lm_weight=0.5,
+                               merge_cap=10**9)
+    assert tight == loose
+
+
 def test_ctc_transcribe_beam_api(tmp_path):
     """beam_size>1 on a CTC model runs prefix beam; beam=1 stays greedy."""
     from gigaam_tpu.audio import save_wav

@@ -93,6 +93,31 @@ def test_save_load_roundtrip(tmp_path):
         assert lm.logp(t, ctx) == lm2.logp(t, ctx)
 
 
+def test_save_load_without_npz_suffix(tmp_path):
+    """np.savez appends '.npz' when missing; save/load must still
+    round-trip on a bare path (asymmetry fixed per round-3 advice)."""
+    lm, _ = _toy_lm(order=2)
+    path = str(tmp_path / "lm")  # no .npz
+    lm.save(path)
+    lm2 = NGramLM.load(path)
+    assert lm2.logp(1, [0]) == lm.logp(1, [0])
+
+
+def test_rnnt_beam_rejects_table_without_base():
+    """Passing lm_table without (lm_base, lm_ctx_len) must raise, not
+    silently decode without fusion."""
+    import jax.numpy as jnp
+    import pytest
+
+    from gigaam_tpu.decode.rnnt_beam import rnnt_beam_decode
+
+    params, d = _tiny_head()
+    enc = jnp.zeros((1, 3, d))
+    with pytest.raises(ValueError, match="lm_base"):
+        rnnt_beam_decode(params, enc, jnp.array([3]),
+                         lm_table=jnp.zeros((4, 3)))
+
+
 def test_score_sequence_is_sum_of_logps():
     lm, seqs = _toy_lm()
     seq = seqs[0]
