@@ -704,3 +704,50 @@ def load_native(path: str, **kw) -> GigaAM:
                                          dec.model_path)))
     params = load_params_npz(base + ".npz")
     return model_class_for(cfg)(cfg, params=params, **kw)
+
+
+def init_encoder_from_artifact(model: GigaAM, path: str) -> None:
+    """SSL -> ASR handoff: replace ``model``'s encoder params with those of
+    another native artifact (typically a BEST-RQ pretrained SSL encoder
+    from ``train/pretrain.py``), leaving head/frontend untouched.
+
+    This is the point of the reference's SSL family — every ``v*_ssl``
+    checkpoint exists to be fine-tuned into CTC/RNNT models
+    (``gigaam/__init__.py:28-41``; README "SSL -> fine-tuned" lineage).
+    The reference relies on loading an SSL ckpt's encoder weights into the
+    ASR model by state-dict name overlap; here the artifact's encoder
+    subtree is grafted wholesale after an explicit architecture check.
+
+    Raises ValueError on encoder-config mismatch (anything but runtime
+    kernel flags) or a missing/incompatible encoder param tree.
+    """
+    import dataclasses
+
+    base = path[:-4] if path.endswith(".npz") else path
+    with open(base + ".json") as f:
+        src_cfg = ModelConfig.from_dict(json.load(f))
+    ours = dataclasses.asdict(model.cfg.encoder)
+    theirs = dataclasses.asdict(src_cfg.encoder)
+    for runtime_flag in ("flash_attn",):  # kernel choice, not architecture
+        ours.pop(runtime_flag, None)
+        theirs.pop(runtime_flag, None)
+    if ours != theirs:
+        diff = {k: (theirs.get(k), ours.get(k))
+                for k in set(ours) | set(theirs)
+                if theirs.get(k) != ours.get(k)}
+        raise ValueError(
+            f"encoder architecture mismatch between {path} and "
+            f"{model.cfg.model_name} (artifact vs model): {diff}")
+    src = load_params_npz(base + ".npz")
+    if "encoder" not in src:
+        raise ValueError(f"{path} has no encoder params")
+    try:
+        # tree_map over (dst, src) both validates identical structure and
+        # preserves the model's param dtypes (fp32 masters for training)
+        enc = jax.tree.map(lambda dst, s: jnp.asarray(s, dst.dtype),
+                           model.params["encoder"], src["encoder"])
+    except ValueError as e:
+        raise ValueError(
+            f"encoder param tree of {path} does not match the model "
+            f"(artifact saved by an incompatible version?): {e}") from e
+    model.params = dict(model.params, encoder=enc)

@@ -79,6 +79,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                    help="best-val_wer checkpoints to keep; 0 = none, "
                         "-1 = keep all (Lightning convention)")
     p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--init_encoder_from", default=None,
+                   help="native SSL/model artifact (.npz/.json pair, e.g. "
+                        "pretrain.py's final.npz) whose encoder initializes "
+                        "this model before fine-tuning — the SSL->ASR "
+                        "handoff (reference v*_ssl lineage)")
     p.add_argument("--initial_validation", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     # parallelism
@@ -225,6 +230,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     # fp32 master weights for training (bf16 is the compute dtype only)
     model = gigaam_tpu.load_model(args.model_name, bf16_encoder=False)
     assert model.cfg.decoding is not None, "ASR model required"
+    if args.init_encoder_from:
+        from gigaam_tpu.models.model import init_encoder_from_artifact
+
+        init_encoder_from_artifact(model, args.init_encoder_from)
+        print(f"initialized encoder from {args.init_encoder_from}")
 
     train_ds = AudioDataset(
         args.train_manifest, tokenizer=model.tokenizer,

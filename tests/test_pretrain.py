@@ -193,3 +193,137 @@ def test_pretrain_cli_and_resume(tmp_path):
     m2 = gigaam_tpu.load_model(os.path.join(save_dir, "final"))
     emb, emb_len = m2.embed_audio(rows[0][0])
     assert np.isfinite(np.asarray(emb)).all()
+
+
+# -- SSL -> ASR handoff ------------------------------------------------------
+
+
+def _tonal_dataset(tmp_path, texts):
+    """Synthetic tonal wavs (structure for BEST-RQ to learn) + manifest."""
+    rng = np.random.default_rng(0)
+    rows = []
+    for i, text in enumerate(texts):
+        n = 16000 + 1600 * i
+        t = np.arange(n) / 16000.0
+        wav = (0.3 * np.sin(2 * np.pi * (220 + 60 * i
+                                         + 40 * np.sin(3 * t)) * t)
+               + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        path = str(tmp_path / f"utt{i}.wav")
+        save_wav(path, wav)
+        rows.append((path, n / 16000.0, text))
+    manifest = str(tmp_path / "manifest.tsv")
+    write_manifest(manifest, rows)
+    return manifest
+
+
+def _final_val_loss(save_dir):
+    with open(os.path.join(save_dir, "metrics.jsonl")) as f:
+        vals = [json.loads(line) for line in f]
+    vals = [r for r in vals if r["kind"] == "val"]
+    assert vals, "no val records"
+    return vals[-1]["loss"]
+
+
+def test_ssl_to_asr_handoff(tmp_path):
+    """The full BEST-RQ -> CTC pipeline in one test: pretrain an SSL
+    encoder (CLI), fine-tune a CTC model from it via
+    ``--init_encoder_from`` (CLI), and require a better final val loss
+    than the identical fine-tune from random init.
+
+    This is the reference's whole SSL story — ``v*_ssl`` checkpoints are
+    fine-tuned into the ASR family (``gigaam/__init__.py:28-41``)."""
+    from gigaam_tpu.train.train import main as train_main
+    from test_training import tiny_cfg
+    from gigaam_tpu.models.model import GigaAMASR
+
+    texts = ["аб ва", "ба гд", "дг аб", "вг ба"]
+    manifest = _tonal_dataset(tmp_path, texts)
+
+    # 1) pretrain the SSL encoder on the same audio
+    ssl_model = GigaAM(tiny_ssl_cfg(), seed=1, compute_dtype=jnp.float32)
+    ssl_art = str(tmp_path / "tiny_ssl")
+    gigaam_tpu.save_model(ssl_model, ssl_art)
+    pre_dir = str(tmp_path / "pre")
+    # batch 4 = the whole set per step: converges to mask_acc ~1.0 in 150
+    # steps (~30 s CPU); an *under*-trained SSL encoder does not reliably
+    # beat random init at this toy scale, a converged one does
+    pretrain_main([
+        "--model_name", ssl_art, "--init", "weights",
+        "--train_manifest", manifest, "--val_manifest", manifest,
+        "--batch_size", "4", "--max_steps", "150", "--lr", "5e-3",
+        "--precision", "fp32", "--save_dir", pre_dir,
+        "--log_every_n_steps", "50", "--codebook_size", "32",
+        "--codebook_dim", "8", "--mask_prob", "0.3", "--mask_span", "3",
+    ])
+    pretrained = os.path.join(pre_dir, "final")
+    assert os.path.exists(pretrained + ".npz")
+    with open(os.path.join(pre_dir, "metrics.jsonl")) as f:
+        accs = [json.loads(line) for line in f]
+    final_acc = [r for r in accs if r["kind"] == "val"][-1]["mask_acc"]
+    assert final_acc > 0.8, f"pretraining failed to converge ({final_acc})"
+
+    # 2) fine-tune CTC: identical runs, one from the pretrained encoder
+    ctc_model = GigaAMASR(tiny_cfg("ctc"), seed=0,
+                          compute_dtype=jnp.float32)
+    ctc_art = str(tmp_path / "tiny_ctc")
+    gigaam_tpu.save_model(ctc_model, ctc_art)
+
+    common = [
+        "--model_name", ctc_art, "--train_manifest", manifest,
+        "--val_manifest", manifest, "--batch_size", "2",
+        "--max_steps", "30", "--lr", "3e-3", "--precision", "fp32",
+        "--log_every_n_steps", "15", "--save_top_k", "1",
+    ]
+    dir_pre = str(tmp_path / "ft_pre")
+    dir_rand = str(tmp_path / "ft_rand")
+    train_main(common + ["--save_dir", dir_pre,
+                         "--init_encoder_from", pretrained])
+    train_main(common + ["--save_dir", dir_rand])
+
+    loss_pre = _final_val_loss(dir_pre)
+    loss_rand = _final_val_loss(dir_rand)
+    assert np.isfinite(loss_pre) and np.isfinite(loss_rand)
+    assert loss_pre < loss_rand, (
+        f"pretrained-init fine-tune ({loss_pre:.4f}) should beat "
+        f"random-init ({loss_rand:.4f}) on the overfit task")
+
+
+def test_init_encoder_from_rejects_mismatched_architecture(tmp_path):
+    from gigaam_tpu.config import EncoderConfig, FeaturesConfig, ModelConfig
+    from gigaam_tpu.models.model import init_encoder_from_artifact
+    from test_training import tiny_cfg
+    from gigaam_tpu.models.model import GigaAMASR
+
+    wide = ModelConfig(
+        model_name="wide_ssl", model_class="ssl",
+        preprocessor=FeaturesConfig(),
+        encoder=EncoderConfig(feat_in=64, n_layers=2, d_model=64,
+                              n_heads=4, ff_expansion_factor=2,
+                              conv_kernel_size=7, pos_emb_max_len=128),
+        head=None, decoding=None)
+    src = GigaAM(wide, seed=0, compute_dtype=jnp.float32)
+    art = str(tmp_path / "wide")
+    gigaam_tpu.save_model(src, art)
+
+    asr = GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="architecture mismatch"):
+        init_encoder_from_artifact(asr, art)
+
+
+def test_init_encoder_from_grafts_exact_weights(tmp_path):
+    """The grafted encoder must be bitwise the artifact's encoder (fp32)."""
+    from gigaam_tpu.models.model import GigaAMASR, init_encoder_from_artifact
+    from test_training import tiny_cfg
+
+    src = GigaAM(tiny_ssl_cfg(), seed=5, compute_dtype=jnp.float32)
+    art = str(tmp_path / "src")
+    gigaam_tpu.save_model(src, art)
+
+    asr = GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+    before = np.asarray(
+        asr.params["encoder"]["layers"]["feed_forward1"]["linear1"]["w"])
+    init_encoder_from_artifact(asr, art)
+    after = asr.params["encoder"]["layers"]["feed_forward1"]["linear1"]["w"]
+    want = src.params["encoder"]["layers"]["feed_forward1"]["linear1"]["w"]
+    assert not np.array_equal(before, np.asarray(after))
+    np.testing.assert_array_equal(np.asarray(after), np.asarray(want))
