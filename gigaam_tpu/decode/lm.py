@@ -25,7 +25,7 @@ following the repo's npz+json artifact convention.
 from __future__ import annotations
 
 import json
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -227,6 +227,80 @@ class NGramLM:
         for packed in range(rows):
             table[packed] = np.log(row(packed, k))
         return table
+
+    # -- sparse device table -------------------------------------------------
+
+    def sparse_table(self) -> Dict[str, Any]:
+        """Counted-contexts-only device table — lifts the dense guard so SP
+        vocabs (V~512) get trigram+ fusion on device (round-3 verdict #4).
+
+        Witten–Bell backoff has the property that an *uncounted* context's
+        distribution equals its backoff exactly (``_prob``: total==0 ->
+        backoff), so p(t | ctx) is always the fully-interpolated row of the
+        LONGEST COUNTED SUFFIX of ctx.  Storage is therefore one [V] row
+        per counted context per level:
+
+          row0            [V]        log p(t) (unigram WB row)
+          levels[kk-1] =  (ctx_ids [n_kk] sorted int32 packed suffixes,
+                           rows    [n_kk, V] fp32 log interpolated rows)
+
+        Device lookup (see ``decode.rnnt_beam``): for each level ascending,
+        ``searchsorted`` the packed suffix (packed % base^kk) and take the
+        row of the deepest hit — O(order) gathers per expansion, no
+        (V+1)^(order-1) materialization.  Context packing/shift arithmetic
+        is unchanged from the dense path.
+        """
+        k = self.order - 1
+        if float(self._base) ** k >= 2 ** 31:
+            raise ValueError(
+                f"packed context ids for order {self.order} over vocab "
+                f"{self.vocab_size} exceed int32; use a lower order")
+        uniform = np.full(self.vocab_size, 1.0 / self.vocab_size, np.float64)
+        by_tok0 = self._counts[0].get(0, {})
+        total0 = sum(by_tok0.values())
+        if total0 == 0:
+            base_row = uniform
+        else:
+            lam = total0 / (total0 + len(by_tok0))
+            cnt = np.zeros(self.vocab_size, np.float64)
+            for t, c in by_tok0.items():
+                cnt[t] = c
+            base_row = lam * cnt / total0 + (1.0 - lam) * uniform
+
+        row_cache: Dict[Tuple[int, int], np.ndarray] = {}
+
+        def row(packed: int, kk: int) -> np.ndarray:
+            if kk == 0:
+                return base_row
+            key = (packed, kk)
+            hit = row_cache.get(key)
+            if hit is not None:
+                return hit
+            by_tok = self._counts[kk].get(packed)
+            shorter = packed % (self._base ** (kk - 1)) if kk > 1 else 0
+            back = row(shorter, kk - 1)
+            if not by_tok:
+                out = back
+            else:
+                total = sum(by_tok.values())
+                lam = total / (total + len(by_tok))
+                cnt = np.zeros(self.vocab_size, np.float64)
+                for t, c in by_tok.items():
+                    cnt[t] = c
+                out = lam * cnt / total + (1.0 - lam) * back
+            row_cache[key] = out
+            return out
+
+        levels = []
+        for kk in range(1, k + 1):
+            ids = np.fromiter(sorted(self._counts[kk].keys()), np.int64,
+                              len(self._counts[kk]))
+            rows = np.empty((len(ids), self.vocab_size), np.float32)
+            for i, packed in enumerate(ids):
+                rows[i] = np.log(row(int(packed), kk))
+            levels.append((ids.astype(np.int32), rows))
+        return {"row0": np.log(base_row).astype(np.float32),
+                "levels": tuple(levels)}
 
     # -- persistence ---------------------------------------------------------
 

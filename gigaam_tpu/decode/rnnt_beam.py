@@ -68,7 +68,10 @@ def rnnt_beam_decode(
     Shallow fusion (``lm_table`` set): label-emission candidates are biased
     by ``lm_weight * lm_table[ctx, label] + token_bonus``, with per-
     hypothesis LM context tracked as a packed integer — row index into the
-    dense table built by ``decode.lm.NGramLM.dense_table``.  Context
+    dense table built by ``decode.lm.NGramLM.dense_table`` (an ndarray), or
+    a longest-counted-suffix lookup into the sparse table built by
+    ``NGramLM.sparse_table`` (a dict — used when the dense table would
+    exceed its size guard, e.g. trigram+ over SP vocabs).  Context
     shift-in is pure integer arithmetic (base ``lm_base = V+1``,
     ``lm_ctx_len = order-1`` digits), so fusion adds one [K, V]-row gather
     per expansion and no host work.  Blank transitions carry no LM term
@@ -97,6 +100,29 @@ def rnnt_beam_decode(
             "(table, base, ctx_len) triple from NGramLM.dense_table; "
             "silently ignoring the table would decode without fusion")
     use_lm = lm_table is not None
+
+    if use_lm and isinstance(lm_table, dict):
+        # sparse counted-contexts table (NGramLM.sparse_table): the fused
+        # row is that of the longest counted suffix — per level ascending,
+        # searchsorted the packed suffix and keep the deepest hit.  Lifts
+        # the dense (V+1)^(order-1) guard for SP vocabs.
+        def lm_rows(ctx):                                # [B, K] -> [B, K, V]
+            row = jnp.broadcast_to(
+                lm_table["row0"], ctx.shape + lm_table["row0"].shape)
+            mod = 1
+            for ids, level_rows in lm_table["levels"]:
+                mod *= lm_base
+                if ids.shape[0] == 0:
+                    continue
+                suf = ctx % mod
+                i = jnp.clip(jnp.searchsorted(ids, suf), 0,
+                             ids.shape[0] - 1)
+                row = jnp.where((ids[i] == suf)[..., None],
+                                level_rows[i], row)
+            return row
+    elif use_lm:
+        def lm_rows(ctx):                                # dense [C, V] gather
+            return lm_table[ctx]
     # all-BOS initial context: BOS = lm_base-1 in every digit
     init_ctx = (lm_base ** lm_ctx_len - 1) if use_lm else 0
     ctx_mod = (lm_base ** max(lm_ctx_len - 1, 0)) if use_lm else 1
@@ -133,7 +159,7 @@ def rnnt_beam_decode(
         lab_logp = logp[:, :, :blank]
         if use_lm:
             lab_logp = (lab_logp
-                        + lm_weight * lm_table[s["lm_ctx"]]
+                        + lm_weight * lm_rows(s["lm_ctx"])
                         + token_bonus)
         lab_scores = jnp.where(
             may_expand[:, :, None],

@@ -315,7 +315,14 @@ class GigaAMASR(GigaAM):
         if (cached is not None and cached[0] is lm
                 and cached[1] == version):
             return lm, cached[2]
-        table = jnp.asarray(lm.dense_table())
+        from ..decode.lm import _MAX_DENSE_ELEMS
+
+        rows = (lm.vocab_size + 1) ** (lm.order - 1)
+        if rows * lm.vocab_size <= _MAX_DENSE_ELEMS:
+            table = jnp.asarray(lm.dense_table())   # one-gather fast path
+        else:
+            # counted-contexts-only table: SP vocabs get trigram+ fusion
+            table = jax.tree.map(jnp.asarray, lm.sparse_table())
         spec = (table, lm.vocab_size + 1, lm.order - 1)
         self._lm_dev_cache = (lm, version, spec)
         return lm, spec

@@ -299,6 +299,110 @@ def test_rnnt_fusion_zero_weight_matches_plain_beam():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+# -- sparse device table -----------------------------------------------------
+
+
+def _sparse_lookup_np(spec, base, packed):
+    """Numpy replica of the device longest-counted-suffix lookup."""
+    row = np.array(spec["row0"], np.float32)
+    mod = 1
+    for ids, rows in spec["levels"]:
+        mod *= base
+        if len(ids) == 0:
+            continue
+        suf = packed % mod
+        i = np.searchsorted(ids, suf)
+        if i < len(ids) and ids[i] == suf:
+            row = rows[i]
+    return row
+
+
+@pytest.mark.parametrize("order", [2, 3, 4])
+def test_sparse_table_matches_host_scorer(order):
+    lm, _ = _toy_lm(order=order)
+    spec = lm.sparse_table()
+    base = lm.vocab_size + 1
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        ctx = rng.integers(0, lm.vocab_size,
+                           size=rng.integers(0, order + 1)).tolist()
+        packed = lm.pack_context(ctx)
+        row = _sparse_lookup_np(spec, base, packed)
+        for tok in range(lm.vocab_size):
+            np.testing.assert_allclose(
+                row[tok], lm.logp_packed(tok, packed), rtol=1e-5,
+                err_msg=f"ctx={ctx} tok={tok}")
+
+
+def test_sparse_table_matches_dense_table():
+    """Where the dense table exists, the sparse lookup must agree row for
+    row (they encode the same WB interpolation)."""
+    lm, _ = _toy_lm(order=3)
+    dense = lm.dense_table()
+    spec = lm.sparse_table()
+    base = lm.vocab_size + 1
+    for packed in range(dense.shape[0]):
+        np.testing.assert_allclose(
+            _sparse_lookup_np(spec, base, packed), dense[packed],
+            rtol=1e-6)
+
+
+def test_rnnt_beam_sparse_equals_dense():
+    """On-device beam with the sparse table == with the dense table."""
+    from gigaam_tpu.decode.rnnt_beam import rnnt_beam_decode
+
+    params, d = _tiny_head(seed=2)
+    lm, _ = _toy_lm(v=4, order=3)
+    rng = np.random.default_rng(9)
+    encoded = rng.standard_normal((3, 7, d)).astype(np.float32) * 2.0
+    enc_len = np.array([7, 5, 2], np.int32)
+    kw = dict(beam_size=4, lm_base=lm.vocab_size + 1,
+              lm_ctx_len=lm.order - 1, lm_weight=0.7, token_bonus=0.1)
+
+    dense = rnnt_beam_decode(params, jnp.asarray(encoded),
+                             jnp.asarray(enc_len),
+                             lm_table=jnp.asarray(lm.dense_table()), **kw)
+    sparse = rnnt_beam_decode(
+        params, jnp.asarray(encoded), jnp.asarray(enc_len),
+        lm_table=jax.tree.map(jnp.asarray, lm.sparse_table()), **kw)
+    for a, b in zip(dense, sparse):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sp_vocab_trigram_fusion_on_device():
+    """The round-3 gap: a 512-token (SP-sized) vocab trigram LM must fuse
+    on device — the dense table would be 513^2 x 512 = 539 MB and is
+    guarded off; the sparse table runs and matches the host scorer."""
+    from gigaam_tpu.decode.rnnt_beam import rnnt_beam_decode
+    from gigaam_tpu.decode.rnnt_greedy import rnnt_extract
+
+    v_lab = 512                       # labels; head classes = 513
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, v_lab, 12).tolist() for _ in range(20)]
+    lm = NGramLM.train(seqs, vocab_size=v_lab, order=3)
+    with pytest.raises(ValueError):
+        lm.dense_table()              # the guard this test exists to lift
+
+    spec = lm.sparse_table()
+    assert sum(len(ids) for ids, _ in spec["levels"]) > 0
+
+    params, d = _tiny_head(seed=5, v=v_lab + 1)
+    encoded = rng.standard_normal((2, 5, d)).astype(np.float32) * 2.0
+    enc_len = np.array([5, 3], np.int32)
+    toks, frames, counts = rnnt_beam_decode(
+        params, jnp.asarray(encoded), jnp.asarray(enc_len), beam_size=1,
+        lm_table=jax.tree.map(jnp.asarray, spec),
+        lm_base=lm.vocab_size + 1, lm_ctx_len=lm.order - 1,
+        lm_weight=0.7, token_bonus=0.05)
+    dev = rnnt_extract(np.asarray(toks), np.asarray(frames),
+                       np.asarray(counts))
+    for b in range(2):
+        host = _host_fused_greedy(params, encoded[b], enc_len[b], lm,
+                                  lm_weight=0.7, token_bonus=0.05)
+        assert dev[b] == ([tk for tk, _ in host], [f for _, f in host]), (
+            f"sample {b}: device {dev[b]} vs host {host}")
+
+
 # -- model API wiring --------------------------------------------------------
 
 

@@ -60,8 +60,10 @@ def main() -> None:
                     help="plain text file, one sentence per line; repeatable")
     ap.add_argument("--out", required=True, help="output LM path (.npz)")
     ap.add_argument("--order", type=int, default=3,
-                    help="n-gram order (3 = trigram; chars: <=4 keeps the "
-                         "on-device dense table small)")
+                    help="n-gram order (3 = trigram). On-device RNNT "
+                         "fusion uses a dense table when small (char "
+                         "vocabs <=4-gram) and a sparse counted-contexts "
+                         "table otherwise (SP vocabs trigram+)")
     ap.add_argument("--sp_model", default=None,
                     help="SentencePiece .model for e2e/v1_rnnt vocabularies")
     ap.add_argument("--model", default=None,
