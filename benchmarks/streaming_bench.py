@@ -76,6 +76,37 @@ def run_library(model, wav: np.ndarray, stride_s: float) -> dict:
     }
 
 
+def run_quality(model, wav: np.ndarray, stride_s: float) -> dict:
+    """Streaming-committed vs offline WER — what LocalAgreement costs.
+
+    The offline decode of the SAME audio by the SAME model is the ground
+    truth (with real weights it is the reference-parity transcript; with
+    random weights it still pins policy regressions: any word the
+    streaming policy drops or mangles shows up as an error).  Long audio
+    goes through transcribe_longform; short audio through transcribe.
+    """
+    from gigaam_tpu.metrics import wer
+
+    sr = gigaam_tpu.SAMPLE_RATE
+    if len(wav) <= 25 * sr:
+        offline = model.transcribe(wav).text
+    else:
+        offline = model.transcribe_longform(wav).text
+    st = StreamingTranscriber(model, stride_s=stride_s)
+    step = int(stride_s * sr)
+    for i in range(0, len(wav), step):
+        st.push(wav[i: i + step])
+    st.flush()
+    streamed = st.text
+    ow, sw = offline.split(), streamed.split()
+    return {
+        "streaming_vs_offline_wer": round(wer([streamed], [offline]), 4),
+        "offline_words": len(ow),
+        "streaming_words": len(sw),
+        "word_count_delta": len(sw) - len(ow),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", default="v3_ctc")
@@ -86,6 +117,8 @@ def main() -> None:
     ap.add_argument("--http", action="store_true",
                     help="benchmark through a running server instead")
     ap.add_argument("--url", default="http://127.0.0.1:8000")
+    ap.add_argument("--no_quality", action="store_true",
+                    help="skip the streaming-vs-offline WER section")
     args = ap.parse_args()
 
     wav = synth_audio(args.minutes * 60.0)
@@ -102,6 +135,8 @@ def main() -> None:
         model = gigaam_tpu.load_model(args.model, init=args.init)
         out = {"mode": "library", "model": args.model,
                **run_library(model, wav, args.stride_s)}
+        if not args.no_quality:
+            out.update(run_quality(model, wav, args.stride_s))
     print(json.dumps(out))
 
 

@@ -92,6 +92,60 @@ def test_stream_file_events(ctc_model):
     assert set(d) == {"kind", "text", "words"}
 
 
+def test_localagreement_zero_word_loss_oracle(ctc_model):
+    """Zero word loss AND zero duplication on a seeded 60 s stream, pinned
+    against the policy itself (round-3 verdict #5).
+
+    The transcriber is driven through its pluggable ``decode_fn`` by an
+    oracle: each buffer decode returns exactly the ground-truth words fully
+    inside the buffer, with any word near the unstable right edge mangled
+    (as a real model's half-heard word would be).  LocalAgreement-2 +
+    midpoint dedup + trims must still reproduce the truth exactly — a
+    dropped word (trim boundary bug), a doubled word (dedup bug), or a
+    mangled commit (edge holdback bug) all fail this test."""
+    from gigaam_tpu.types import Word
+
+    truth = [Word(f"w{k}", 2.0 * k + 0.3, 2.0 * k + 1.5)
+             for k in range(29)]  # last word ends at 57.5 < 60 - margin
+    total_s = 60.0
+
+    st = StreamingTranscriber(
+        ctc_model, window_s=20.0, stride_s=2.0, trim_s=12.0,
+        right_margin_s=1.0,
+        decode_fn=lambda buf: _oracle_decode(st, buf, truth))
+
+    def _oracle_decode(stx, buf, words):
+        lo = stx._base / SR
+        hi = lo + len(buf) / SR
+        out = []
+        for w in words:
+            if w.start >= lo and w.end <= hi:
+                rel = Word(w.text, w.start - lo, w.end - lo)
+                if hi - w.end < 0.8 and hi < total_s:
+                    # unstable right edge: the word is still being heard
+                    rel = Word(w.text[:1] + "?", rel.start, rel.end)
+                out.append(rel)
+        return out
+
+    rng = np.random.default_rng(0)
+    pos = 0
+    n_total = int(total_s * SR)
+    while pos < n_total:
+        step = int(rng.uniform(0.3, 0.9) * SR)  # ragged chunk sizes
+        st.push(np.zeros(min(step, n_total - pos), np.float32))
+        pos += step
+    st.flush()
+
+    got = st.text.split()
+    want = [w.text for w in truth]
+    assert got == want, (f"policy lost/duplicated words:\n"
+                         f"want {want}\ngot  {got}")
+    # committed times match the truth exactly (no drift through trims)
+    for a, b in zip(st.committed, truth):
+        assert abs(a.start - b.start) < 1e-6 and abs(a.end - b.end) < 1e-6
+    assert st._base > 0, "stream this long must have trimmed"
+
+
 def test_push_after_flush_raises(ctc_model):
     st = StreamingTranscriber(ctc_model)
     st.push(np.zeros(SR, np.float32))
