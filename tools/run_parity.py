@@ -98,10 +98,19 @@ def main() -> int:
             failures.append(f"vad: {e}")
             print(f"[vad] FAILED ({e})")
 
-    # 4. golden suite
+    # 4. golden suite — the crosscheck first: it parses the reference's own
+    # test sources and fails loudly if our golden constants drifted from
+    # them, so a transcription typo can never masquerade as model disparity
     if not args.skip_tests:
         env = dict(os.environ,
                    GIGAAM_GOLDEN_ROOT=args.root, GIGAAM_GOLDEN="1")
+        rc = subprocess.call(
+            [sys.executable, "-m", "pytest",
+             os.path.join(REPO, "tests", "test_golden_crosscheck.py"),
+             "-v", "-rs"], env=env, cwd=REPO)
+        if rc != 0:
+            failures.append(f"golden crosscheck rc={rc} — expectations "
+                            f"drifted from the reference test sources")
         rc = subprocess.call(
             [sys.executable, "-m", "pytest",
              os.path.join(REPO, "tests", "test_golden.py"),
