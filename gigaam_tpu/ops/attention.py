@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .conformer_ops import linear as _linear
-from .rotary import apply_rotary
+from .rotary import apply_rotary_wide
 
 NEG_INF = -1e9
 
@@ -73,8 +73,9 @@ def rotary_mha(
     SDPA/flash backends (``gigaam/encoder.py:258-274``).
     """
     b, t, d = x.shape
-    xh = x.reshape(b, t, n_heads, d // n_heads)
-    xr = apply_rotary(xh, cos, sin).reshape(b, t, d)
+    # flat-layout RoPE: full-lane elementwise + one static lane gather,
+    # bitwise-equal to the [B, T, H, d_h] formulation (see rotary.py)
+    xr = apply_rotary_wide(x, cos, sin, n_heads)
 
     q = _split_heads(_linear(params["linear_q"], xr), n_heads)
     k = _split_heads(_linear(params["linear_k"], xr), n_heads)

@@ -514,14 +514,19 @@ def fused_mha(
     k: jnp.ndarray,
     v: jnp.ndarray,
     valid: jnp.ndarray,
-    block_q: int = 512,
+    block_q: int = 768,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Masked SDPA. q/k/v [B, H, T, d]; valid [B, T] bool -> [B, H, T, d].
 
-    ``block_q=512`` measured ~10% faster than 256 at T'=501 (fewer grid
-    cells; the kernel is cell-latency-bound, not softmax- or MXU-bound —
-    an all-heads-per-cell variant measured *zero* further gain).
+    ``block_q``: the kernel is cell-latency-bound, not softmax- or
+    MXU-bound (an all-heads-per-cell variant measured *zero* further
+    gain), so fewer/bigger q-blocks win: 512 was ~10% over 256 at T'=501,
+    and 768 is a further 9% over the balanced 2x384 split at T'=750
+    (b128, chip-measured round 4: 6.67 vs 7.32 ms for the kernel core) —
+    one block per (batch, head) for every shape the 25/30 s caps produce.
+    VMEM stays comfortable: the [block_q, T] fp32 score block is 6.3 MB
+    at the T=2048 fallback bound.
 
     Differentiable: forward runs the Pallas kernel; backward recomputes
     through an identical XLA formulation (``_xla_mha``), so the op works

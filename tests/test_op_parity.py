@@ -220,3 +220,20 @@ def test_sdpa_matches_our_attention_core():
     for bi in range(b):
         tv = valid[bi].sum()
         np.testing.assert_allclose(ours[bi, :, :tv], ref[bi, :, :tv], atol=1e-5)
+
+
+def test_apply_rotary_wide_equals_per_head():
+    """The flat-layout RoPE (full-lane elementwise + static gather, used by
+    rotary_mha) must equal the per-head [B, T, H, d] formulation exactly —
+    and the torch reference semantics transitively (whole-model parity in
+    test_reference_torch_parity.py runs through apply_rotary_wide)."""
+    from gigaam_tpu.ops.rotary import (apply_rotary, apply_rotary_wide,
+                                       rotary_tables)
+
+    b, t, h, d = 3, 17, 4, 12
+    cos, sin = rotary_tables(t, d, base=64.0)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    x = jnp.asarray(RNG.standard_normal((b, t, h * d)).astype(np.float32))
+    want = apply_rotary(x.reshape(b, t, h, d), cos, sin).reshape(b, t, h * d)
+    got = apply_rotary_wide(x, cos, sin, h)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
