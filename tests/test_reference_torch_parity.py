@@ -257,3 +257,90 @@ def test_batch_invariance_matches_reference():
     scale = np.abs(ref_b.numpy()).max()
     assert ref_delta < 0.01 * scale
     assert our_delta < 0.01 * scale
+
+
+def test_rnnt_training_lattice_matches_reference():
+    """Teacher-forced RNNT joint lattice (the training path): our
+    rnnt_predict_sequence + rnnt_joint_logits must equal the reference
+    fine-tuner's computation (``train_utils/module.py:130-144``: zero-
+    vector BOS -> LSTM -> joint_net(enc + pred)) on the reference's own
+    RNNTHead modules, at production dims."""
+    ref = load_reference()
+    torch.manual_seed(10)
+    head = ref["decoder"].RNNTHead(
+        decoder={"pred_hidden": PRED_HIDDEN, "pred_rnn_layers": 1,
+                 "num_classes": V},
+        joint={"enc_hidden": 768, "pred_hidden": PRED_HIDDEN,
+               "joint_hidden": PRED_HIDDEN, "num_classes": V})
+    head.eval()
+
+    from gigaam_tpu.config import (RNNTDecoderConfig, RNNTHeadConfig,
+                                   RNNTJointConfig)
+    from gigaam_tpu.checkpoint import convert_head
+    from gigaam_tpu.models.heads import (rnnt_joint_logits,
+                                         rnnt_predict_sequence)
+
+    cfg = RNNTHeadConfig(
+        decoder=RNNTDecoderConfig(pred_hidden=PRED_HIDDEN,
+                                  pred_rnn_layers=1, num_classes=V),
+        joint=RNNTJointConfig(enc_hidden=768, pred_hidden=PRED_HIDDEN,
+                              joint_hidden=PRED_HIDDEN, num_classes=V))
+    sd = state_dict_to_numpy(
+        {f"head.{k}": v for k, v in head.state_dict().items()})
+    import jax
+    params = jax.tree.map(jnp.asarray, convert_head(sd, cfg))
+
+    rng = np.random.default_rng(11)
+    b, t, u = 3, 12, 7
+    encoded = rng.standard_normal((b, t, 768)).astype(np.float32)
+    tokens = rng.integers(0, V - 1, (b, u)).astype(np.int32)
+
+    with torch.no_grad():
+        enc_t = torch.from_numpy(encoded)
+        dec, jnt = head.decoder, head.joint
+        bos = torch.zeros(b, 1, dec.pred_hidden)
+        pred_out, _ = dec.lstm(
+            torch.cat([bos, dec.embed(torch.from_numpy(tokens).long())],
+                      dim=1).transpose(0, 1))
+        ref_lattice = jnt.joint_net(
+            jnt.enc(enc_t).unsqueeze(2)
+            + jnt.pred(pred_out.transpose(0, 1)).unsqueeze(1)).numpy()
+
+    pred = rnnt_predict_sequence(params, jnp.asarray(tokens))
+    ours = np.asarray(rnnt_joint_logits(params, jnp.asarray(encoded), pred))
+    assert ours.shape == (b, t, u + 1, V) == ref_lattice.shape
+    np.testing.assert_allclose(ours, ref_lattice, atol=2e-5, rtol=1e-5)
+
+
+def test_emo_head_matches_reference_pooling():
+    """Emo path: encoder output -> avg-pool over T -> Linear -> softmax
+    (reference ``gigaam/model.py:272-285``).  Our masked mean-pool equals
+    the reference's full-T avg_pool1d on unpadded samples."""
+    torch.manual_seed(12)
+    lin = torch.nn.Linear(256, 4)
+    lin.eval()
+
+    from gigaam_tpu.config import EmoHeadConfig
+    from gigaam_tpu.checkpoint import convert_head
+    from gigaam_tpu.models.heads import emo_probs
+    import jax
+
+    sd = state_dict_to_numpy(
+        {f"head.{k}": v for k, v in lin.state_dict().items()})
+    params = jax.tree.map(
+        jnp.asarray, convert_head(sd, EmoHeadConfig(feat_in=256,
+                                                    num_classes=4)))
+
+    rng = np.random.default_rng(13)
+    enc = rng.standard_normal((1, 37, 256)).astype(np.float32)
+    with torch.no_grad():
+        # reference: encoded [B, D, T] -> avg_pool1d over full T
+        pooled = torch.nn.functional.avg_pool1d(
+            torch.from_numpy(enc.transpose(0, 2, 1)),
+            kernel_size=37).squeeze(-1)
+        ref_probs = torch.nn.functional.softmax(
+            lin(pooled)[0], dim=-1).numpy()
+
+    ours = np.asarray(emo_probs(params, jnp.asarray(enc),
+                                jnp.asarray(np.array([37]))))[0]
+    np.testing.assert_allclose(ours, ref_probs, atol=1e-6)
