@@ -301,6 +301,14 @@ def main() -> None:
                 results["train_ctc_dots_step_b8_20s"] = {
                     "error": f"{type(exc).__name__}: {exc}"[:200]}
                 print(f"train ctc dots: failed ({type(exc).__name__})")
+            try:
+                # b16 + dots: the best measured train throughput config
+                # (round 3); kept in the standard sweep so refreshes track it
+                time_train("ctc", 16, 20, remat_policy="dots", tag="_dots")
+            except Exception as exc:
+                results["train_ctc_dots_step_b16_20s"] = {
+                    "error": f"{type(exc).__name__}: {exc}"[:200]}
+                print(f"train ctc dots b16: failed ({type(exc).__name__})")
             time_train("rnnt", 8, 20)
             # rel-pos generation: exercises the fused rel-pos kernel's
             # Pallas backward (shear/unshear in VMEM)
