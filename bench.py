@@ -131,7 +131,7 @@ def _measure(model, batch_size: int, seconds: int):
     def run_k(params, wavs_in, lens_in, pos_in):
         def body(i, acc):
             w = wavs_in + (1e-7 * i)
-            labels, keep, enc_lens = model._ctc_forward_impl(
+            labels, keep, _tok_lp, enc_lens = model._ctc_forward_impl(
                 params, w, lens_in, pos_in)
             return acc + labels.sum() + enc_lens.sum()
 

@@ -64,7 +64,7 @@ def main() -> None:
         # compile request and 220M fp32 params overflow its body limit
         # (HTTP 413) — same constraint as __graft_entry__.entry.
         def full(p, w):
-            labels, keep, enc_lens = model._ctc_forward_impl(
+            labels, keep, _tok_lp, enc_lens = model._ctc_forward_impl(
                 p, w, lens, pos)
             return labels, enc_lens
 

@@ -38,16 +38,22 @@ from ..models.heads import (
 )
 
 
-@partial(jax.jit, static_argnames=("max_symbols", "max_tokens"))
+@partial(jax.jit, static_argnames=("max_symbols", "max_tokens",
+                                   "with_logps"))
 def rnnt_greedy_decode(
     params: Dict[str, Any],
     encoded: jnp.ndarray,
     enc_len: jnp.ndarray,
     max_symbols: int = 10,
     max_tokens: int = 0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_logps: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """encoded [B, T, D], enc_len [B] ->
-    (tokens [B, U_cap], frames [B, U_cap], counts [B])."""
+    (tokens [B, U_cap], frames [B, U_cap], counts [B]).
+
+    ``with_logps=True`` appends a 4th output: the emitted token's joint
+    log-prob per slot [B, U_cap] fp32 (word-confidence source) — opt-in so
+    existing callers keep the 3-tuple and its compiled graph."""
     b, t_max, _ = encoded.shape
     blank = params["decoder"]["embed"].shape[0] - 1
     n_layers = len(params["decoder"]["lstm"])
@@ -68,6 +74,8 @@ def rnnt_greedy_decode(
         frames=jnp.zeros((b, u_cap), jnp.int32),
         count=jnp.zeros((b,), jnp.int32),
     )
+    if with_logps:
+        init["logps"] = jnp.zeros((b, u_cap), jnp.float32)
     enc_len = jnp.clip(enc_len, 0, t_max)
     # hoist the encoder-side joint projection out of the loop: one big
     # [B,T,D]x[D,J] MXU matmul instead of a [B,D]x[D,J] matmul per step
@@ -95,6 +103,11 @@ def rnnt_greedy_decode(
             jnp.where(emit, k, s["tokens"][jnp.arange(b), slot]))
         frames = s["frames"].at[jnp.arange(b), slot].set(
             jnp.where(emit, s["t"], s["frames"][jnp.arange(b), slot]))
+        if with_logps:
+            k_lp = jnp.take_along_axis(logp, k[:, None], axis=1)[:, 0]
+            logps = s["logps"].at[jnp.arange(b), slot].set(
+                jnp.where(emit, k_lp.astype(jnp.float32),
+                          s["logps"][jnp.arange(b), slot]))
         count = s["count"] + emit.astype(jnp.int32)
 
         # predictor advances only on emission
@@ -110,10 +123,15 @@ def rnnt_greedy_decode(
         t = jnp.where(frame_done, s["t"] + 1, s["t"])
         sym = jnp.where(frame_done, 0, sym)
 
-        return dict(t=t, sym=sym, label=label, h=h, c=c,
-                    tokens=tokens, frames=frames, count=count)
+        new_s = dict(t=t, sym=sym, label=label, h=h, c=c,
+                     tokens=tokens, frames=frames, count=count)
+        if with_logps:
+            new_s["logps"] = logps
+        return new_s
 
     out = jax.lax.while_loop(cond, step, init)
+    if with_logps:
+        return out["tokens"], out["frames"], out["count"], out["logps"]
     return out["tokens"], out["frames"], out["count"]
 
 

@@ -3,7 +3,8 @@
 
 from __future__ import annotations
 
-from typing import List
+import math
+from typing import List, Optional
 
 from ..config import SAMPLE_RATE
 from ..types import Word
@@ -28,12 +29,20 @@ def frames_to_words(
     token_ids: List[int],
     token_frames: List[int],
     frame_shift: float,
+    token_logps: Optional[List[float]] = None,
 ) -> List[Word]:
     """Group tokens into words at '▁' prefixes or spaces; word span =
-    [first_frame, last_frame + 1] x shift (``timestamps_utils.py:13-53``)."""
+    [first_frame, last_frame + 1] x shift (``timestamps_utils.py:13-53``).
+
+    ``token_logps`` (optional, aligned with ``token_ids``): per-token
+    decoder log-probs; when given, each Word carries
+    ``confidence = exp(mean logp)`` of its tokens (extension over the
+    reference, which has no confidence surface).
+    """
     words: List[Word] = []
     current_chars: List[str] = []
     current_frames: List[int] = []
+    current_logps: List[float] = []
 
     def commit() -> None:
         if not current_chars:
@@ -42,14 +51,19 @@ def frames_to_words(
         if not text:
             current_chars.clear()
             current_frames.clear()
+            current_logps.clear()
             return
         start = current_frames[0] * frame_shift
         end = (current_frames[-1] + 1) * frame_shift
-        words.append(Word(text=text, start=start, end=end))
+        conf = (math.exp(sum(current_logps) / len(current_logps))
+                if current_logps else None)
+        words.append(Word(text=text, start=start, end=end, confidence=conf))
         current_chars.clear()
         current_frames.clear()
+        current_logps.clear()
 
-    for token_id, frame in zip(token_ids, token_frames):
+    lps = token_logps if token_logps is not None else [None] * len(token_ids)
+    for token_id, frame, lp in zip(token_ids, token_frames, lps):
         char = tokenizer.id_to_str(token_id)
         if not char:  # control/unused piece: decode drops it from the text
             continue
@@ -61,6 +75,8 @@ def frames_to_words(
             continue
         current_chars.append(char)
         current_frames.append(frame)
+        if lp is not None:
+            current_logps.append(float(lp))
 
     commit()
     return words

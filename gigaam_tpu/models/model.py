@@ -278,7 +278,10 @@ class GigaAMASR(GigaAM):
         encoded, enc_lens = self._encode_impl(params, wavs, lengths, pos)
         log_probs = heads_lib.ctc_log_probs(params["head"], encoded)
         labels, keep = ctc_greedy_mask(log_probs, enc_lens)
-        return labels, keep, enc_lens
+        # argmax token's log-prob per frame: feeds per-word confidence
+        # (max over V — free next to the argmax the mask already takes)
+        tok_lp = jnp.max(log_probs, axis=-1).astype(jnp.float32)
+        return labels, keep, tok_lp, enc_lens
 
     def _ctc_logprobs_impl(self, params, wavs, lengths, pos):
         """Full [B, T', V] posteriors — the prefix-beam decode input."""
@@ -369,18 +372,30 @@ class GigaAMASR(GigaAM):
             def decode_host():
                 from ..decode.ctc_beam import ctc_beam_batch
 
-                return ctc_beam_batch(tree_to_host(log_probs)[:n],
-                                      tree_to_host(enc_lens)[:n],
-                                      beam_size=beam_size,
-                                      lm=lm, lm_weight=lm_weight,
-                                      token_bonus=token_bonus)
+                lp_np = tree_to_host(log_probs)[:n]
+                pairs = ctc_beam_batch(lp_np,
+                                       tree_to_host(enc_lens)[:n],
+                                       beam_size=beam_size,
+                                       lm=lm, lm_weight=lm_weight,
+                                       token_bonus=token_bonus)
+                # confidence proxy: the chosen token's posterior at its
+                # emit frame (the beam's own sum-over-alignments score has
+                # no per-token decomposition)
+                return [
+                    (ids, fr, [float(lp_np[b_, f, t_])
+                               for t_, f in zip(ids, fr)])
+                    for b_, (ids, fr) in enumerate(pairs)
+                ]
         elif is_ctc:
-            labels, keep, enc_lens = self._asr_fwd(
+            labels, keep, tok_lp, enc_lens = self._asr_fwd(
                 self.params, dev_batch, dev_lens, pos)
 
             def decode_host():
-                return ctc_extract(tree_to_host(labels)[:n],
-                                   tree_to_host(keep)[:n])
+                pairs = ctc_extract(tree_to_host(labels)[:n],
+                                    tree_to_host(keep)[:n])
+                lp_np = tree_to_host(tok_lp)[:n]
+                return [(ids, fr, [float(lp_np[b_, f] ) for f in fr])
+                        for b_, (ids, fr) in enumerate(pairs)]
         else:
             encoded, enc_lens = self._encode_jit(
                 self.params, dev_batch, dev_lens, pos)
@@ -398,15 +413,24 @@ class GigaAMASR(GigaAM):
                     beam_size=beam_size,
                     max_symbols=self.cfg.decoding.max_symbols_per_step,
                     **lm_kw)
+                logps = None  # beam hyps carry no per-token decomposition
             else:
-                tokens, frames, counts = rnnt_greedy_decode(
+                tokens, frames, counts, logps = rnnt_greedy_decode(
                     self.params["head"], encoded, enc_lens,
-                    max_symbols=self.cfg.decoding.max_symbols_per_step)
+                    max_symbols=self.cfg.decoding.max_symbols_per_step,
+                    with_logps=True)
 
             def decode_host():
-                return rnnt_extract(tree_to_host(tokens)[:n],
-                                    tree_to_host(frames)[:n],
-                                    tree_to_host(counts)[:n])
+                pairs = rnnt_extract(tree_to_host(tokens)[:n],
+                                     tree_to_host(frames)[:n],
+                                     tree_to_host(counts)[:n])
+                if logps is None:
+                    return [(ids, fr, None) for ids, fr in pairs]
+                lp_np = tree_to_host(logps)[:n]
+                return [
+                    (ids, fr, lp_np[b_, :len(ids)].tolist())
+                    for b_, (ids, fr) in enumerate(pairs)
+                ]
 
         def finalize() -> List[Tuple[str, Optional[List[Word]]]]:
             decoded = decode_host()
@@ -415,14 +439,14 @@ class GigaAMASR(GigaAM):
             # (the same contract save_model relies on)
             enc_lens_np = tree_to_host(enc_lens)
             out: List[Tuple[str, Optional[List[Word]]]] = []
-            for i, (ids, frames_i) in enumerate(decoded):
+            for i, (ids, frames_i, logps_i) in enumerate(decoded):
                 text = self.tokenizer.decode(ids)
                 words = None
                 if word_timestamps:
                     shift = compute_frame_shift(int(lens[i]),
                                                 int(enc_lens_np[i]))
                     words = frames_to_words(self.tokenizer, ids, frames_i,
-                                            shift)
+                                            shift, token_logps=logps_i)
                 out.append((text, words))
             return out
 

@@ -35,11 +35,20 @@ class AudioDatasetSample:
 
 @dataclass
 class Word:
-    """A recognized word with its time span in seconds."""
+    """A recognized word with its time span in seconds.
+
+    ``confidence`` (extension over the reference's schema,
+    ``gigaam/types.py:8-13``): exp of the mean per-token decoder log-prob
+    of this word, in (0, 1] — populated by the greedy decoders and the
+    CTC prefix beam; ``None`` where unavailable (RNNT device beam,
+    artifact-only inference).  The wire format omits the key when None,
+    so existing consumers are unaffected.
+    """
 
     text: str
     start: float
     end: float
+    confidence: Optional[float] = None
 
     @property
     def duration(self) -> float:
@@ -49,14 +58,22 @@ class Word:
         """A copy moved by ``offset`` seconds (segment -> absolute time)."""
         return Word(text=self.text,
                     start=_t(self.start + offset),
-                    end=_t(self.end + offset))
+                    end=_t(self.end + offset),
+                    confidence=self.confidence)
 
     def to_dict(self) -> Dict[str, Any]:
-        return {"word": self.text, "start": _t(self.start), "end": _t(self.end)}
+        out = {"word": self.text, "start": _t(self.start),
+               "end": _t(self.end)}
+        if self.confidence is not None:
+            out["confidence"] = round(float(self.confidence), 4)
+        return out
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "Word":
-        return Word(text=d["word"], start=float(d["start"]), end=float(d["end"]))
+        conf = d.get("confidence")
+        return Word(text=d["word"], start=float(d["start"]),
+                    end=float(d["end"]),
+                    confidence=None if conf is None else float(conf))
 
 
 def _words_to_json(words: Optional[List[Word]]) -> List[Dict[str, Any]]:
@@ -78,6 +95,14 @@ class TranscriptionResult:
 
     def __str__(self) -> str:
         return self.text
+
+    @property
+    def confidence(self) -> Optional[float]:
+        """Mean word confidence, or None when words/confidences are absent."""
+        if not self.words:
+            return None
+        vals = [w.confidence for w in self.words if w.confidence is not None]
+        return sum(vals) / len(vals) if vals else None
 
     def to_dict(self, *, timestamps: Optional[bool] = None) -> Dict[str, Any]:
         """JSON body of ``POST /transcribe``.

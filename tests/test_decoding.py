@@ -196,3 +196,58 @@ def test_parse_sp_model_truncated_mid_float(tmp_path):
         f.write(bytes([cut[0], cut[1] - 5]) + cut[2:])
     with pytest.raises(ValueError, match="truncated or corrupt"):
         parse_sp_model(bad)
+
+
+def test_frames_to_words_confidence_math():
+    """Word confidence = exp(mean token logp) of exactly its tokens."""
+    import math
+
+    from gigaam_tpu.config import RU_VOCAB
+    from gigaam_tpu.decode.timestamps import frames_to_words
+    from gigaam_tpu.decode.tokenizer import Tokenizer
+
+    tok = Tokenizer(list(RU_VOCAB))
+    # "аб в": ids for а, б, space, в
+    ids = [tok.encode("а")[0], tok.encode("б")[0], 0, tok.encode("в")[0]]
+    frames = [2, 3, 5, 7]
+    logps = [-0.2, -0.4, -9.0, -0.1]  # the space's logp must NOT leak in
+    words = frames_to_words(tok, ids, frames, 0.04, token_logps=logps)
+    assert [w.text for w in words] == ["аб", "в"]
+    assert abs(words[0].confidence - math.exp(-0.3)) < 1e-9
+    assert abs(words[1].confidence - math.exp(-0.1)) < 1e-9
+    # without logps: None (old behavior preserved)
+    w2 = frames_to_words(tok, ids, frames, 0.04)
+    assert all(w.confidence is None for w in w2)
+
+
+def test_rnnt_greedy_with_logps_is_consistent():
+    """with_logps=True must not change decisions, and the logps must be
+    finite, <= 0, and aligned with counts."""
+    import jax
+
+    from gigaam_tpu.config import (RNNTDecoderConfig, RNNTHeadConfig,
+                                   RNNTJointConfig)
+    from gigaam_tpu.models.heads import init_rnnt_head
+
+    cfg = RNNTHeadConfig(
+        decoder=RNNTDecoderConfig(pred_hidden=12, pred_rnn_layers=1,
+                                  num_classes=6),
+        joint=RNNTJointConfig(enc_hidden=16, pred_hidden=12,
+                              joint_hidden=12, num_classes=6))
+    params = init_rnnt_head(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    enc = jnp.asarray(rng.standard_normal((2, 6, 16)).astype(np.float32) * 2)
+    enc_len = jnp.asarray(np.array([6, 4], np.int32))
+
+    t3 = rnnt_greedy_decode(params, enc, enc_len)
+    t4 = rnnt_greedy_decode(params, enc, enc_len, with_logps=True)
+    assert len(t3) == 3 and len(t4) == 4
+    for a, b in zip(t3, t4[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    logps = np.asarray(t4[3])
+    counts = np.asarray(t4[2])
+    assert np.isfinite(logps).all()
+    for b_ in range(2):
+        got = logps[b_, :counts[b_]]
+        assert (got <= 1e-6).all(), "log-probs must be <= 0"
+        assert (got != 0).any() or counts[b_] == 0

@@ -273,3 +273,33 @@ def test_save_model_with_cwd_relative_paths(tmp_path, monkeypatch):
     assert m2.tokenizer.decode([1]) == "а"
     save_model(m2, "b/m")                          # re-save to another dir
     assert load_native("b/m").tokenizer.decode([2]) == "б"
+
+
+def test_word_confidences_greedy(wav_file):
+    """Greedy CTC and RNNT transcription populates per-word confidence in
+    (0, 1]; the result-level aggregate follows (extension over the
+    reference, which has no confidence surface)."""
+    for cfg_fn, seed in ((tiny_ctc_cfg, 3), (tiny_rnnt_cfg, 1)):
+        model = GigaAMASR(cfg_fn(), seed=seed)
+        res = model.transcribe(wav_file, word_timestamps=True)
+        assert res.words, "random tiny model should emit something"
+        for w in res.words:
+            assert w.confidence is not None
+            assert 0.0 < w.confidence <= 1.0
+        assert 0.0 < res.confidence <= 1.0
+
+
+def test_word_confidences_beam(wav_file):
+    """CTC prefix beam carries confidences; the RNNT device beam has no
+    per-token decomposition and must leave them None."""
+    ctc = GigaAMASR(tiny_ctc_cfg(), seed=3)
+    res = ctc.transcribe(wav_file, word_timestamps=True, beam_size=4)
+    assert res.words
+    assert all(w.confidence is not None and 0 < w.confidence <= 1.0
+               for w in res.words)
+
+    rnnt = GigaAMASR(tiny_rnnt_cfg(), seed=1)
+    res2 = rnnt.transcribe(wav_file, word_timestamps=True, beam_size=4)
+    for w in res2.words or []:
+        assert w.confidence is None
+    assert res2.confidence is None

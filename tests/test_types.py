@@ -84,3 +84,33 @@ def test_longform_empty():
     assert not res.has_word_timestamps
     assert len(res) == 0
     assert LongformTranscriptionResult.from_dict(res.to_dict()).segments == []
+
+
+def test_word_confidence_wire_roundtrip():
+    """confidence: present -> serialized + round-trips; None -> key omitted
+    (backward-compatible wire format)."""
+    from gigaam_tpu.types import Word
+
+    w = Word("да", 0.1, 0.5, confidence=0.8731)
+    d = w.to_dict()
+    assert d["confidence"] == 0.8731
+    back = Word.from_dict(d)
+    assert back.confidence == 0.8731
+    assert back.shifted(1.0).confidence == 0.8731
+
+    plain = Word("да", 0.1, 0.5)
+    d2 = plain.to_dict()
+    assert "confidence" not in d2
+    assert Word.from_dict(d2).confidence is None
+
+
+def test_transcription_result_confidence_property():
+    from gigaam_tpu.types import TranscriptionResult, Word
+
+    r = TranscriptionResult("а б", words=[
+        Word("а", 0.0, 0.1, confidence=0.9),
+        Word("б", 0.2, 0.3, confidence=0.7)])
+    assert abs(r.confidence - 0.8) < 1e-9
+    assert TranscriptionResult("x").confidence is None
+    assert TranscriptionResult(
+        "x", words=[Word("x", 0.0, 0.1)]).confidence is None
