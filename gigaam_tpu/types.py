@@ -135,6 +135,14 @@ class Segment:
     def duration(self) -> float:
         return self.end - self.start
 
+    @property
+    def confidence(self) -> Optional[float]:
+        """Mean word confidence, or None when words/confidences are absent."""
+        if not self.words:
+            return None
+        vals = [w.confidence for w in self.words if w.confidence is not None]
+        return sum(vals) / len(vals) if vals else None
+
     def to_dict(self, *, timestamps: Optional[bool] = None) -> Dict[str, Any]:
         out: Dict[str, Any] = {
             "start": _t(self.start), "end": _t(self.end), "text": self.text}

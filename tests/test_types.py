@@ -114,3 +114,13 @@ def test_transcription_result_confidence_property():
     assert TranscriptionResult("x").confidence is None
     assert TranscriptionResult(
         "x", words=[Word("x", 0.0, 0.1)]).confidence is None
+
+
+def test_segment_confidence_property():
+    from gigaam_tpu.types import Segment, Word
+
+    s = Segment("а б", 0.0, 1.0, words=[
+        Word("а", 0.0, 0.1, confidence=0.6),
+        Word("б", 0.2, 0.3, confidence=0.4)])
+    assert abs(s.confidence - 0.5) < 1e-9
+    assert Segment("x", 0.0, 1.0).confidence is None
