@@ -45,7 +45,7 @@ NEG_INF = -1.0e30
 
 
 @partial(jax.jit, static_argnames=("beam_size", "max_symbols", "max_tokens",
-                                   "lm_base", "lm_ctx_len"))
+                                   "lm_base", "lm_ctx_len", "with_logps"))
 def rnnt_beam_decode(
     params: Dict[str, Any],
     encoded: jnp.ndarray,
@@ -58,12 +58,19 @@ def rnnt_beam_decode(
     lm_ctx_len: int = 0,
     lm_weight: float = 0.5,
     token_bonus: float = 0.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_logps: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """encoded [B, T, D], enc_len [B] ->
     (tokens [B, U_cap], frames [B, U_cap], counts [B]) of the best beam.
 
     Scores are unnormalized cumulative log-probabilities (the greedy
     decoder's implicit criterion at K=1).
+
+    ``with_logps=True`` appends a 4th output [B, K->best, U_cap] fp32: the
+    *acoustic* (pre-fusion) joint log-prob of each emitted token, tracked
+    per hypothesis through the beam exactly like tokens/frames — the
+    word-confidence source.  Opt-in: a separate compiled variant, existing
+    callers keep the 3-tuple.
 
     Shallow fusion (``lm_table`` set): label-emission candidates are biased
     by ``lm_weight * lm_table[ctx, label] + token_bonus``, with per-
@@ -139,6 +146,8 @@ def rnnt_beam_decode(
         count=jnp.zeros((b, K), jnp.int32),
         lm_ctx=jnp.full((b, K), init_ctx, jnp.int32),
     )
+    if with_logps:
+        state["logps"] = jnp.zeros((b, K, u_cap), jnp.float32)
     rows = jnp.arange(b)[:, None].repeat(K, 1)           # [B, K]
     cols = jnp.arange(K)[None, :].repeat(b, 0)
 
@@ -157,6 +166,7 @@ def rnnt_beam_decode(
         may_expand = (~frame_done) & active & (s["count"] < u_cap)
         # label-emission candidates [B, K, V] (labels exclude blank)
         lab_logp = logp[:, :, :blank]
+        acoustic = lab_logp  # pre-fusion: the confidence source
         if use_lm:
             lab_logp = (lab_logp
                         + lm_weight * lm_rows(s["lm_ctx"])
@@ -200,6 +210,13 @@ def rnnt_beam_decode(
             jnp.where(emit, new_lab, tokens[rows, cols, slot]))
         frames = frames.at[rows, cols, slot].set(
             jnp.where(emit, t, frames[rows, cols, slot]))
+        if with_logps:
+            ac = jnp.take_along_axis(
+                jnp.take_along_axis(acoustic, src_k[:, :, None], axis=1),
+                new_lab[:, :, None], axis=2)[:, :, 0]        # [B, K]
+            logps = jnp.take_along_axis(s["logps"], idx3, axis=1)
+            logps = logps.at[rows, cols, slot].set(
+                jnp.where(emit, ac, logps[rows, cols, slot]))
         count = count + emit.astype(jnp.int32)
 
         # a stay selection means the hypothesis finished frame t (took
@@ -215,6 +232,8 @@ def rnnt_beam_decode(
         new_s = dict(score=top_scores, label=label, h=h, c=c,
                      tokens=tokens, frames=frames, count=count,
                      lm_ctx=lm_ctx)
+        if with_logps:
+            new_s["logps"] = logps
         return new_s, frame_done
 
     def frame(t, s):
@@ -237,4 +256,7 @@ def rnnt_beam_decode(
     t_hi = jnp.max(enc_len)  # already clipped to [0, t_max] above
     out = jax.lax.fori_loop(0, t_hi, frame, state)
     # beams come out of top_k sorted descending by score: beam 0 is best
+    if with_logps:
+        return (out["tokens"][:, 0], out["frames"][:, 0],
+                out["count"][:, 0], out["logps"][:, 0])
     return out["tokens"][:, 0], out["frames"][:, 0], out["count"][:, 0]

@@ -408,12 +408,11 @@ class GigaAMASR(GigaAM):
                     lm_kw = dict(lm_table=table, lm_base=base,
                                  lm_ctx_len=ctx_len, lm_weight=lm_weight,
                                  token_bonus=token_bonus)
-                tokens, frames, counts = rnnt_beam_decode(
+                tokens, frames, counts, logps = rnnt_beam_decode(
                     self.params["head"], encoded, enc_lens,
                     beam_size=beam_size,
                     max_symbols=self.cfg.decoding.max_symbols_per_step,
-                    **lm_kw)
-                logps = None  # beam hyps carry no per-token decomposition
+                    with_logps=True, **lm_kw)
             else:
                 tokens, frames, counts, logps = rnnt_greedy_decode(
                     self.params["head"], encoded, enc_lens,

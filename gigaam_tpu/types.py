@@ -38,11 +38,11 @@ class Word:
     """A recognized word with its time span in seconds.
 
     ``confidence`` (extension over the reference's schema,
-    ``gigaam/types.py:8-13``): exp of the mean per-token decoder log-prob
-    of this word, in (0, 1] — populated by the greedy decoders and the
-    CTC prefix beam; ``None`` where unavailable (RNNT device beam,
-    artifact-only inference).  The wire format omits the key when None,
-    so existing consumers are unaffected.
+    ``gigaam/types.py:8-13``): exp of the mean per-token *acoustic*
+    decoder log-prob of this word, in (0, 1] — populated by every live
+    decode path (greedy CTC/RNNT, CTC prefix beam, RNNT device beam);
+    ``None`` where unavailable (artifact-only inference).  The wire
+    format omits the key when None, so existing consumers are unaffected.
     """
 
     text: str

@@ -264,3 +264,55 @@ def test_ctc_transcribe_beam_api(tmp_path):
     res_b = model.transcribe(p, beam_size=8)
     assert isinstance(res_b.text, str)
     assert model.transcribe(p, beam_size=1).text == res_g.text
+
+
+def test_rnnt_beam_with_logps_matches_greedy_at_k1():
+    """with_logps must not change beam decisions, and at K=1 the acoustic
+    logp track must equal the greedy decoder's (same decision sequence,
+    same joint distributions)."""
+    from gigaam_tpu.decode.rnnt_greedy import rnnt_greedy_decode
+
+    params, d = _tiny_head(seed=6)
+    rng = np.random.default_rng(12)
+    encoded = jnp.asarray(
+        rng.standard_normal((2, 6, d)).astype(np.float32) * 2.0)
+    enc_len = jnp.asarray(np.array([6, 4], np.int32))
+
+    b3 = rnnt_beam_decode(params, encoded, enc_len, beam_size=1)
+    b4 = rnnt_beam_decode(params, encoded, enc_len, beam_size=1,
+                          with_logps=True)
+    assert len(b4) == 4
+    for a, b in zip(b3, b4[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    g4 = rnnt_greedy_decode(params, encoded, enc_len, with_logps=True)
+    counts = np.asarray(g4[2])
+    np.testing.assert_array_equal(np.asarray(b4[0]), np.asarray(g4[0]))
+    for bi in range(2):
+        n = counts[bi]
+        np.testing.assert_allclose(np.asarray(b4[3])[bi, :n],
+                                   np.asarray(g4[3])[bi, :n], atol=1e-5)
+
+
+def test_rnnt_beam_logps_are_acoustic_not_fused():
+    """Under LM fusion the logp track must stay the PRE-fusion acoustic
+    joint log-prob (confidence measures the model, not the LM bias)."""
+    from gigaam_tpu.decode.lm import NGramLM
+
+    params, d = _tiny_head(seed=7, v=5)
+    lm = NGramLM.train([[0, 1, 2]] * 10, vocab_size=4, order=2)
+    rng = np.random.default_rng(13)
+    encoded = jnp.asarray(
+        rng.standard_normal((1, 5, d)).astype(np.float32) * 2.0)
+    enc_len = jnp.asarray(np.array([5], np.int32))
+
+    toks, frames, counts, logps = rnnt_beam_decode(
+        params, encoded, enc_len, beam_size=2,
+        lm_table=jnp.asarray(lm.dense_table()), lm_base=lm.vocab_size + 1,
+        lm_ctx_len=lm.order - 1, lm_weight=0.9, token_bonus=0.3,
+        with_logps=True)
+    n = int(np.asarray(counts)[0])
+    got = np.asarray(logps)[0, :n]
+    assert (got <= 1e-5).all(), (
+        "fused scores can exceed 0 via token_bonus; acoustic log-probs "
+        "cannot — the track leaked the fused value")

@@ -290,8 +290,9 @@ def test_word_confidences_greedy(wav_file):
 
 
 def test_word_confidences_beam(wav_file):
-    """CTC prefix beam carries confidences; the RNNT device beam has no
-    per-token decomposition and must leave them None."""
+    """Both beam decoders carry confidences too: the CTC prefix beam from
+    host posteriors, the RNNT device beam from its per-hypothesis
+    acoustic-logp track."""
     ctc = GigaAMASR(tiny_ctc_cfg(), seed=3)
     res = ctc.transcribe(wav_file, word_timestamps=True, beam_size=4)
     assert res.words
@@ -300,6 +301,6 @@ def test_word_confidences_beam(wav_file):
 
     rnnt = GigaAMASR(tiny_rnnt_cfg(), seed=1)
     res2 = rnnt.transcribe(wav_file, word_timestamps=True, beam_size=4)
-    for w in res2.words or []:
-        assert w.confidence is None
-    assert res2.confidence is None
+    assert res2.words
+    assert all(w.confidence is not None and 0 < w.confidence <= 1.0
+               for w in res2.words)
