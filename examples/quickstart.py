@@ -71,7 +71,8 @@ def main():
     res = model.transcribe(f"{tmp}/short.wav", word_timestamps=True)
     print("  text:", repr(res.text))
     for w in (res.words or [])[:3]:
-        print(f"  word {w.text!r}  [{w.start:.2f}, {w.end:.2f}]")
+        conf = f"  conf {w.confidence:.2f}" if w.confidence is not None else ""
+        print(f"  word {w.text!r}  [{w.start:.2f}, {w.end:.2f}]{conf}")
 
     if model.cfg.head is not None and hasattr(model.cfg.head, "decoder"):
         print("== RNNT beam search")

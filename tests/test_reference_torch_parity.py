@@ -41,7 +41,14 @@ from gigaam_tpu.decode.tokenizer import Tokenizer
 from gigaam_tpu.models.encoder import PosTables, conformer_forward
 from gigaam_tpu.models.heads import ctc_log_probs
 
+import reference_torch
 from reference_torch import load_reference
+
+import os
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(reference_torch.REF_DIR),
+    reason="reference checkout not available")
 
 V = len(RU_VOCAB) + 1  # 33 chars + blank = 34, the reference convention
 PRED_HIDDEN = 320
