@@ -63,7 +63,12 @@ def ctc_prefix_beam(
     ``prune_vocab`` caps per-frame expansion to the top-P symbols (the
     standard emission-pruning heuristic); the blank is always considered.
     ``merge_cap``: at most ``merge_cap * beam_size`` non-blank candidate
-    cells per frame enter the prefix merge.
+    cells per frame enter the prefix merge — *without* an LM.  Under
+    shallow fusion the cap is disabled entirely (every cell of the pruned
+    ``beam x prune_vocab`` grid is merged): the acoustic-only ranking the
+    cap would use can discard exactly the extensions the LM rescues, and
+    the grid is already bounded by ``prune_vocab``, so the perf cost is
+    bounded too.
 
     ``lm`` (a ``decode.lm.NGramLM`` or anything with
     ``logp(token, context)``) enables shallow fusion: prefixes are ranked

@@ -419,12 +419,14 @@ class GigaAMASR(GigaAM):
                     max_symbols=self.cfg.decoding.max_symbols_per_step,
                     with_logps=True)
 
+            # both RNNT decoders are called with with_logps=True, so the
+            # per-token log-probs are always present
+            assert logps is not None
+
             def decode_host():
                 pairs = rnnt_extract(tree_to_host(tokens)[:n],
                                      tree_to_host(frames)[:n],
                                      tree_to_host(counts)[:n])
-                if logps is None:
-                    return [(ids, fr, None) for ids, fr in pairs]
                 lp_np = tree_to_host(logps)[:n]
                 return [
                     (ids, fr, lp_np[b_, :len(ids)].tolist())
@@ -758,7 +760,11 @@ def init_encoder_from_artifact(model: GigaAM, path: str) -> None:
         src_cfg = ModelConfig.from_dict(json.load(f))
     ours = dataclasses.asdict(model.cfg.encoder)
     theirs = dataclasses.asdict(src_cfg.encoder)
-    for runtime_flag in ("flash_attn",):  # kernel choice, not architecture
+    # runtime/training knobs that do not shape the parameter tree: an SSL
+    # artifact saved under a different kernel choice, remat setting, or
+    # positional-table floor still grafts cleanly
+    for runtime_flag in ("flash_attn", "activation_checkpointing",
+                         "remat_policy", "pos_emb_max_len"):
         ours.pop(runtime_flag, None)
         theirs.pop(runtime_flag, None)
     if ours != theirs:

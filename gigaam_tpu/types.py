@@ -43,6 +43,16 @@ class Word:
     decode path (greedy CTC/RNNT, CTC prefix beam, RNNT device beam);
     ``None`` where unavailable (artifact-only inference).  The wire
     format omits the key when None, so existing consumers are unaffected.
+
+    The underlying quantity differs per decode path, so confidences are
+    comparable *within* one decode mode but not across modes (do not apply
+    one threshold to mixed-decoder output):
+
+    * RNNT (greedy/beam): pre-fusion joint log-prob of each emitted token;
+    * CTC greedy: frame posterior of the token at its argmax frame;
+    * CTC prefix beam: posterior of the token at its first-creation frame
+      (can understate confidence — the beam's sum-over-alignments mass is
+      not decomposed per token).
     """
 
     text: str

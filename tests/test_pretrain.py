@@ -310,6 +310,33 @@ def test_init_encoder_from_rejects_mismatched_architecture(tmp_path):
         init_encoder_from_artifact(asr, art)
 
 
+def test_init_encoder_from_ignores_runtime_only_config_deltas(tmp_path):
+    """Runtime/training knobs (remat, pos table floor, kernel choice) do not
+    shape the parameter tree — an SSL artifact differing only in those must
+    graft, not raise 'architecture mismatch'."""
+    import dataclasses
+
+    from gigaam_tpu.models.model import GigaAMASR, init_encoder_from_artifact
+    from test_training import tiny_cfg
+
+    cfg = tiny_ssl_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(
+            cfg.encoder, flash_attn=not cfg.encoder.flash_attn,
+            activation_checkpointing=not cfg.encoder.activation_checkpointing,
+            remat_policy="dots", pos_emb_max_len=999))
+    src = GigaAM(cfg, seed=5, compute_dtype=jnp.float32)
+    art = str(tmp_path / "src_rt")
+    gigaam_tpu.save_model(src, art)
+
+    asr = GigaAMASR(tiny_cfg("ctc"), seed=0, compute_dtype=jnp.float32)
+    init_encoder_from_artifact(asr, art)   # must not raise
+    got = asr.params["encoder"]["layers"]["feed_forward1"]["linear1"]["w"]
+    want = src.params["encoder"]["layers"]["feed_forward1"]["linear1"]["w"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_init_encoder_from_grafts_exact_weights(tmp_path):
     """The grafted encoder must be bitwise the artifact's encoder (fp32)."""
     from gigaam_tpu.models.model import GigaAMASR, init_encoder_from_artifact
