@@ -103,8 +103,39 @@ def pipeline_flops(batch: int, wav_len: int, *, d: int = 768, layers: int = 16,
 # Inner bench (runs in a subprocess with the real backend)
 # ---------------------------------------------------------------------------
 
-def _measure(model, batch_size: int, seconds: int):
-    """Median per-forward wall time for one batch size, device-side K-loop."""
+def _timed_dispatches(run_k, arg_sets, k: int, windows: int = 3,
+                      reps: int = 5) -> float:
+    """Median-of-window / min-over-windows wall time per iteration.
+
+    ``run_k(*args)`` must return a device scalar whose value depends on
+    every iteration of its internal K-loop.  ``arg_sets`` holds >= 2
+    distinct input tuples, alternated across dispatches: repeated
+    identical dispatches can hit a degenerate result-reuse fast path on
+    the remote-TPU plugin and report impossible numbers.  The scalar is
+    consumed via a D2H ``float()`` read — the plugin's
+    ``block_until_ready`` can return early on a degenerate fast path;
+    a value read cannot.
+    """
+    import numpy as np
+
+    float(run_k(*arg_sets[0]))                      # compile + warm
+    float(run_k(*arg_sets[1 % len(arg_sets)]))
+    window_medians = []
+    n = 0
+    for _ in range(windows):
+        times = []
+        for _ in range(reps):
+            args = arg_sets[n % len(arg_sets)]
+            n += 1
+            t0 = time.perf_counter()
+            float(run_k(*args))
+            times.append((time.perf_counter() - t0) / k)
+        window_medians.append(float(np.median(times)))
+        time.sleep(0.5)
+    return min(window_medians)
+
+
+def _synth_batch(batch_size: int, seconds: int):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -119,13 +150,23 @@ def _measure(model, batch_size: int, seconds: int):
     batch, lens = pad_wav_batch(wavs)
     batch = jnp.asarray(batch)
     lens = jnp.asarray(lens)
-    pos = model._pos_for(batch.shape[1])
+    batches = [batch, batch + jnp.float32(1e-6)]
+    jax.block_until_ready(batches)
+    return batches, lens
 
-    # Device-side loop of K forwards per dispatch: the remote-TPU tunnel
-    # costs tens of ms per host round trip, which would dominate a
-    # per-call measurement.  Each iteration perturbs the input (data
-    # dependency on the loop counter) so XLA cannot CSE the body.
-    K = 40
+
+def _measure(model, batch_size: int, seconds: int, k: int = 40):
+    """Median per-forward wall time for one batch size, device-side K-loop.
+
+    The device-side loop of K forwards per dispatch amortizes the remote-TPU
+    tunnel's tens-of-ms host round trip; each iteration perturbs the input
+    (data dependency on the loop counter) so XLA cannot CSE the body.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    batches, lens = _synth_batch(batch_size, seconds)
+    pos = model._pos_for(batches[0].shape[1])
 
     @jax.jit
     def run_k(params, wavs_in, lens_in, pos_in):
@@ -135,31 +176,69 @@ def _measure(model, batch_size: int, seconds: int):
                 params, w, lens_in, pos_in)
             return acc + labels.sum() + enc_lens.sum()
 
-        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    # two distinct input buffers, alternated across dispatches: repeated
-    # identical dispatches can hit a degenerate result-reuse fast path on
-    # the remote-TPU plugin and report impossible numbers
-    batches = [batch, batch + jnp.float32(1e-6)]
-    jax.block_until_ready(batches)
-    # consume the scalar via a D2H read: the remote-TPU plugin's
-    # block_until_ready can return early on a degenerate fast path,
-    # producing physically impossible timings; a value read cannot
-    float(run_k(model.params, batches[0], lens, pos))
-    float(run_k(model.params, batches[1], lens, pos))
-    window_medians = []
-    n = 0
-    for _ in range(3):
-        times = []
-        for _ in range(5):
-            b_in = batches[n % 2]
-            n += 1
-            t0 = time.perf_counter()
-            float(run_k(model.params, b_in, lens, pos))
-            times.append((time.perf_counter() - t0) / K)
-        window_medians.append(float(np.median(times)))
-        time.sleep(0.5)
-    return min(window_medians)
+    return _timed_dispatches(
+        run_k, [(model.params, b, lens, pos) for b in batches], k)
+
+
+def _measure_rnnt(model, batch_size: int, seconds: int):
+    """(encoder_s, decode_s) for the v3_rnnt pipeline at one batch size.
+
+    The joint output is biased toward blank so the on-device label loop
+    runs the ~T-iteration trip count a *trained* checkpoint exhibits: a
+    random-weight joint argmaxes to non-blank nearly every step and burns
+    the full ``max_symbols_per_step`` budget — a ~10x RTF understatement
+    (docs/PERF.md "Random weights are not a workload").
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gigaam_tpu.decode.rnnt_greedy import rnnt_greedy_decode
+
+    head = jax.tree.map(lambda x: x, model.params["head"])
+    b_out = head["joint"]["out"]["b"]
+    head["joint"]["out"]["b"] = b_out.at[b_out.shape[0] - 1].add(1e4)
+
+    batches, lens = _synth_batch(batch_size, seconds)
+    pos = model._pos_for(batches[0].shape[1])
+
+    k_enc = 20
+
+    @jax.jit
+    def enc_k(params, wavs_in, lens_in, pos_in):
+        def body(i, acc):
+            w = wavs_in + (1e-7 * i)
+            enc, enc_lens = model._encode_impl(params, w, lens_in, pos_in)
+            return acc + enc.astype(jnp.float32).sum() + enc_lens.sum()
+
+        return jax.lax.fori_loop(0, k_enc, body, jnp.float32(0))
+
+    dt_enc = _timed_dispatches(
+        enc_k, [(model.params, b, lens, pos) for b in batches], k_enc,
+        windows=2, reps=4)
+
+    enc, enc_lens = jax.jit(model._encode_impl)(
+        model.params, batches[0], lens, pos)
+    enc = enc.astype(jnp.float32)
+    encs = [enc, enc + jnp.float32(1e-6)]
+    jax.block_until_ready(encs)
+
+    k_dec = 10
+
+    @jax.jit
+    def dec_k(head_in, enc_in, lens_in):
+        def body(i, acc):
+            e = enc_in + (1e-7 * i)
+            out = rnnt_greedy_decode(head_in, e, lens_in)
+            return acc + out[0].sum() + out[2].sum()
+
+        return jax.lax.fori_loop(0, k_dec, body, jnp.int32(0))
+
+    dt_dec = _timed_dispatches(
+        dec_k, [(head, e, enc_lens) for e in encs], k_dec,
+        windows=2, reps=4)
+    return dt_enc, dt_dec
 
 
 def inner_main() -> None:
@@ -184,6 +263,47 @@ def inner_main() -> None:
         detail[f"bs{bs}"] = {"rtf": round(rtf, 1), "mfu": round(mfu, 4),
                              "ms_per_fwd": round(dt * 1e3, 2)}
 
+    # Both decoder families and both attention families, driver-captured
+    # (round-4 verdict: the RNNT / rel-pos numbers previously lived only in
+    # self-reported benchmark artifacts).  Fail-soft: a failure here must
+    # not cost the headline metric.
+    import gc
+
+    del model
+    gc.collect()
+    try:
+        rnnt = load_model("v3_rnnt", init="random")
+        bs = 32
+        dt_enc, dt_dec = _measure_rnnt(rnnt, bs, seconds)
+        dt = dt_enc + dt_dec
+        detail["v3_rnnt_bs32"] = {
+            "rtf": round(bs * seconds / dt, 1),
+            "encoder_ms": round(dt_enc * 1e3, 2),
+            "decode_ms": round(dt_dec * 1e3, 2),
+            "encoder_mfu": round(
+                pipeline_flops(bs, 16000 * seconds, vocab=0) / dt_enc
+                / (PEAK_TFLOPS * 1e12), 4),
+        }
+        del rnnt
+        gc.collect()
+    except Exception as e:  # noqa: BLE001 - diagnostics over hard failure
+        detail["v3_rnnt_bs32"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        v2 = load_model("v2_ctc", init="random")
+        bs = 8
+        dt = _measure(v2, bs, seconds, k=20)
+        detail["v2_ctc_bs8"] = {
+            "rtf": round(bs * seconds / dt, 1),
+            "ms_per_fwd": round(dt * 1e3, 2),
+            "mfu": round(
+                pipeline_flops(bs, 16000 * seconds, rel_pos=True) / dt
+                / (PEAK_TFLOPS * 1e12), 4),
+        }
+        del v2
+        gc.collect()
+    except Exception as e:  # noqa: BLE001
+        detail["v2_ctc_bs8"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # the headline is ALWAYS the serving batch (bs=32) so the metric keeps
     # a stable meaning across rounds; bs=8 stays in detail for comparison
     head = detail["bs32"]
@@ -204,7 +324,7 @@ def inner_main() -> None:
 # ---------------------------------------------------------------------------
 
 ATTEMPTS = int(os.environ.get("GIGAAM_BENCH_ATTEMPTS", "4"))
-ATTEMPT_TIMEOUT = float(os.environ.get("GIGAAM_BENCH_TIMEOUT", "720"))
+ATTEMPT_TIMEOUT = float(os.environ.get("GIGAAM_BENCH_TIMEOUT", "1500"))
 BACKOFF_SEC = float(os.environ.get("GIGAAM_BENCH_BACKOFF", "60"))
 
 
