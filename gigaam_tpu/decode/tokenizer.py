@@ -112,6 +112,19 @@ class SentencePieceModel:
             (i for i, (_, _, t) in enumerate(self.pieces) if t == _TYPE_UNKNOWN), 0
         )
         self.max_piece_len = max((len(p) for p, _, _ in self.pieces), default=1)
+        # byte-fallback table: models trained with --byte_fallback carry 256
+        # pieces '<0x00>'..'<0xFF>' (type BYTE); real sentencepiece then
+        # replaces every unknown-character span with its UTF-8 byte pieces
+        # instead of emitting unk (normalizer_spec escapes nothing else)
+        self._byte_ids: Optional[List[int]] = None
+        byte_ids = []
+        for b in range(256):
+            pid = self.piece_to_id.get(f"<0x{b:02X}>")
+            if pid is None or self.pieces[pid][2] != _TYPE_BYTE:
+                break
+            byte_ids.append(pid)
+        if len(byte_ids) == 256:
+            self._byte_ids = byte_ids
 
     def __len__(self) -> int:
         return len(self.pieces)
@@ -121,19 +134,41 @@ class SentencePieceModel:
 
     def decode(self, ids: List[int]) -> str:
         out: List[str] = []
+        pending_bytes = bytearray()     # consecutive byte pieces -> UTF-8
+
+        def flush_bytes() -> None:
+            if pending_bytes:
+                # real sentencepiece decodes byte-piece runs as UTF-8 with
+                # U+FFFD replacement for invalid sequences
+                out.append(pending_bytes.decode("utf-8", errors="replace"))
+                pending_bytes.clear()
+
         for i in ids:
             piece, _, ptype = self.pieces[i]
+            if ptype == _TYPE_BYTE:
+                pending_bytes.append(int(piece[1:-1], 16))
+                continue
+            flush_bytes()
             if ptype in (_TYPE_CONTROL, _TYPE_UNUSED):
                 continue
             if ptype == _TYPE_UNKNOWN:
                 out.append(" ⁇ ")
                 continue
             out.append(piece)
+        flush_bytes()
         text = "".join(out).replace(_WORD_BOUNDARY, " ")
         return text.lstrip(" ")
 
     def encode(self, text: str) -> List[int]:
-        """Unigram Viterbi segmentation (max sum of piece log-probs)."""
+        """Unigram Viterbi segmentation (max sum of piece log-probs).
+
+        Matches real sentencepiece's unigram encoder: single-character unk
+        arcs carry ``min_score - 10`` (its ``kUnkPenalty``), and on models
+        trained with ``--byte_fallback`` each unk span is re-emitted as its
+        UTF-8 byte pieces instead of the unk id (the library's
+        byte-fallback post-step).  Exactness is pinned by the gated
+        ``tests/test_sp_parity.py`` against the real library.
+        """
         s = _WORD_BOUNDARY + text.replace(" ", _WORD_BOUNDARY)
         n = len(s)
         NEG = -1e18
@@ -158,13 +193,21 @@ class SentencePieceModel:
             if sc > best[i + 1]:
                 best[i + 1] = sc
                 back[i + 1] = (i, self.unk_id)
-        ids: List[int] = []
+        segments: List[Tuple[int, int, int]] = []   # (start, end, pid)
         pos = n
         while pos > 0:
             prev, pid = back[pos]
-            ids.append(pid)
+            segments.append((prev, pos, pid))
             pos = prev
-        return ids[::-1]
+        segments.reverse()
+        ids: List[int] = []
+        for start, end, pid in segments:
+            if pid == self.unk_id and self._byte_ids is not None:
+                for byte in s[start:end].encode("utf-8"):
+                    ids.append(self._byte_ids[byte])
+            else:
+                ids.append(pid)
+        return ids
 
 
 class Tokenizer:

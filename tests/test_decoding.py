@@ -177,6 +177,52 @@ def test_sp_id_to_str_consistent_with_decode(tmp_path):
     assert tok.decode(ids) == "абва"
 
 
+def test_sp_byte_fallback_encode_decode(tmp_path):
+    """Models with --byte_fallback pieces: OOV spans encode to UTF-8 byte
+    pieces (real sentencepiece's byte-fallback post-step, pinned exactly by
+    the gated test_sp_parity.py), and decode merges byte runs back to text."""
+    from test_export_serve import _write_tiny_sp_model
+
+    from gigaam_tpu.decode.tokenizer import SentencePieceModel
+
+    path = str(tmp_path / "tok.model")
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3)]
+    pieces += [(f"<0x{b:02X}>", 0.0, 6) for b in range(256)]
+    base = len(pieces)
+    pieces += [("▁привет", -0.5, 1), ("▁", -1.0, 1),
+               ("п", -2.0, 1), ("р", -2.0, 1), ("и", -2.0, 1),
+               ("в", -2.0, 1), ("е", -2.0, 1), ("т", -2.0, 1)]
+    _write_tiny_sp_model(path, pieces)
+    m = SentencePieceModel(path)
+
+    # known text: whole-word piece wins
+    assert m.encode("привет") == [base]
+    # OOV 'x' (absent from vocab): encodes as its UTF-8 byte piece, not unk
+    ids = m.encode("привет x")
+    assert ids == [base, base + 1, 3 + ord("x")]
+    # decode reconstructs the text incl. the byte-piece run
+    assert m.decode(ids) == "привет x"
+    # multi-byte OOV char: two byte pieces, round-trips
+    ids2 = m.encode("привет ё")
+    tail = "ё".encode("utf-8")
+    assert ids2 == [base, base + 1] + [3 + b for b in tail]
+    assert m.decode(ids2) == "привет ё"
+    # invalid byte sequence decodes with U+FFFD replacement, like real SP
+    assert m.decode([3 + 0xD0]) == "�"
+
+
+def test_sp_no_byte_pieces_keeps_unk_fallback(tmp_path):
+    """Without byte-fallback pieces, OOV chars still map to unk."""
+    from test_export_serve import _write_tiny_sp_model
+
+    from gigaam_tpu.decode.tokenizer import SentencePieceModel
+
+    path = str(tmp_path / "tok.model")
+    _write_tiny_sp_model(path, [("<unk>", 0.0, 2), ("▁аб", -0.5, 1)])
+    m = SentencePieceModel(path)
+    assert m.encode("аб x") == [1, 0, 0]   # '▁аб', unk('▁x' as 2 chars)
+
+
 def test_parse_sp_model_truncated_mid_float(tmp_path):
     """A file cut inside a score float must surface as a diagnosable
     ValueError, not a bare struct.error."""
