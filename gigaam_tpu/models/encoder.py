@@ -293,16 +293,32 @@ def _layer_forward(
     residual = residual + 0.5 * y
 
     y = layer_norm(lp["norm_self_att"], residual)
-    use_fused = False
+    use_fused = use_folded = False
     if cfg.flash_attn:
-        from ..ops.pallas_attention import fused_attention_available
+        from ..ops.pallas_attention import (
+            folded_attention_available,
+            fused_attention_available,
+        )
 
         kind = ("sdpa" if cfg.self_attention_model == "rotary" else "relpos")
         use_fused = fused_attention_available(x.shape[1], kind)
+        # inference forward: the whole attention module runs as ONE Pallas
+        # kernel (RoPE + projections + SDPA + out-projection; -13% at b32,
+        # -22% at b128 vs the composed path, PERF.md round 5).  Training
+        # keeps the composed path, whose dedicated Pallas backward kernels
+        # carry the custom VJPs.
+        use_folded = (kind == "sdpa" and not train and use_fused
+                      and folded_attention_available(x.shape[1]))
     if cfg.self_attention_model == "rotary":
         cos, sin = pos
-        y = rotary_mha(lp["self_attn"], y, cos, sin, valid, cfg.n_heads,
-                       use_fused=use_fused)
+        if use_folded:
+            from ..ops.pallas_attention import folded_rotary_attention
+
+            y = folded_rotary_attention(lp["self_attn"], y, cos, sin,
+                                        valid, cfg.n_heads)
+        else:
+            y = rotary_mha(lp["self_attn"], y, cos, sin, valid, cfg.n_heads,
+                           use_fused=use_fused)
     else:
         y = relpos_mha(lp["self_attn"], y, pos, valid, cfg.n_heads,
                        use_fused=use_fused)

@@ -146,6 +146,215 @@ def _attn_relpos_kernel(q_ref, k_ref, v_ref, qv_ref, p_ref, mask_ref, o_ref,
 
 _BWD_MAX_T = 768  # full [T,T] probs/grads live in VMEM (covers T'<=750)
 
+# ---------------------------------------------------------------------------
+# Fully-folded rotary attention MODULE (inference forward)
+#
+# One kernel per batch-row group computes the entire attention block:
+# RoPE -> Q/K/V projections -> per-head masked SDPA -> output projection,
+# with nothing but the [B, T, D] input/output touching HBM.  Kills three
+# glue costs of the composed path (chip-measured, PERF.md round 5):
+# the RoPE pass (1.75 ms/layer at b128), the q/k/v HBM round trips, and
+# the head split/merge relayouts (~3 ms/layer).  RoPE inside the kernel is
+# a +-1 permutation MATMUL (x @ R): products are exactly 0 or +-x, so it
+# is exact, and it rides the MXU instead of lane-gathering on the VPU.
+#
+# Round-4 attempts at this fold died on remote-compile HTTP 500s; round-5
+# probing showed those were VMEM OOMs against the default 16 MB scoped
+# limit — the chip accepts ~120 MB (``benchmarks/pallas_subsampling_probe``)
+# and this kernel requests 100 MB.  Measured vs the composed path
+# (``benchmarks/pallas_attn_fold_probe.py``): -13% at b32 x T'=512 and
+# -22% at b128 x T'=768 per attention module, break-even at b8.
+# ---------------------------------------------------------------------------
+
+_MAX_FOLD_T = 1024  # [T,T] fp32 probs + nb*T rows of q/k/v in VMEM
+
+
+def folded_attention_available(t: int) -> bool:
+    return (_HAS_PLTPU and t <= _MAX_FOLD_T
+            and jax.default_backend() not in ("cpu",))
+
+
+@functools.lru_cache(maxsize=None)
+def _rope_perm_matrix(n_heads: int, d_head: int):
+    """[D, D] rotate-half permutation: (x @ R) == rotate_half per head
+    group in the flat-lane layout (``ops/rotary.py::apply_rotary_wide``)."""
+    import numpy as np
+
+    d = n_heads * d_head
+    half = d_head // 2
+    r = np.zeros((d, d), np.float32)
+    for h in range(n_heads):
+        o = h * d_head
+        for i in range(half):
+            r[o + half + i, o + i] = -1.0     # rot[i]      = -x[i + half]
+            r[o + i, o + half + i] = 1.0      # rot[i+half] =  x[i]
+    return r
+
+
+def _fold_rotary_kernel(x_ref, cos_ref, sin_ref, r_ref, wq_ref, wk_ref,
+                        wv_ref, wo_ref, bq_ref, bk_ref, bv_ref, bo_ref,
+                        mask_ref, o_ref, *, t: int, nb: int, n_heads: int):
+    """nb batch rows per grid cell; wq arrives pre-scaled by 1/sqrt(d_h)."""
+    d = x_ref.shape[-1]
+    dh = d // n_heads
+    x = x_ref[:].reshape(nb * t, d)
+    xrot = jnp.dot(x, r_ref[:], preferred_element_type=jnp.float32)
+    cos = cos_ref[:]
+    sin = sin_ref[:]
+    if nb > 1:
+        cos = jnp.concatenate([cos] * nb, axis=0)
+        sin = jnp.concatenate([sin] * nb, axis=0)
+    xr = (x.astype(jnp.float32) * cos + xrot * sin).astype(x.dtype)
+
+    q = (jnp.dot(xr, wq_ref[:], preferred_element_type=jnp.float32)
+         + bq_ref[:]).astype(x.dtype)
+    k = (jnp.dot(xr, wk_ref[:], preferred_element_type=jnp.float32)
+         + bk_ref[:]).astype(x.dtype)
+    v = (jnp.dot(x, wv_ref[:], preferred_element_type=jnp.float32)
+         + bv_ref[:]).astype(x.dtype)
+
+    outs = []
+    for ib in range(nb):
+        madd = (mask_ref[ib].astype(jnp.float32) - 1.0) * (-NEG_INF)
+        rsl = slice(ib * t, (ib + 1) * t)
+        row_acc = jnp.zeros((t, d), jnp.float32)
+        for h in range(n_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            qh, kh, vh = q[rsl, sl], k[rsl, sl], v[rsl, sl]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s + madd
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            oh = jax.lax.dot_general(
+                p.astype(x.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            oh = (oh / denom).astype(x.dtype)
+            row_acc += jnp.dot(oh, wo_ref[h * dh:(h + 1) * dh, :],
+                               preferred_element_type=jnp.float32)
+        outs.append(row_acc + bo_ref[:])
+    out = outs[0] if nb == 1 else jnp.concatenate(outs, axis=0)
+    o_ref[:] = out.reshape(nb, t, d).astype(o_ref.dtype)
+
+
+def _folded_rotary_pallas(x, cos_w, sin_w, r, wq, wk, wv, wo,
+                          bq, bk, bv, bo, valid, nb, n_heads, interpret):
+    b, t, d = x.shape
+    while b % nb:       # under a mesh the LOCAL batch may not divide nb
+        nb //= 2
+    mask8 = valid.astype(jnp.int8)[:, None, :]
+    kernel = functools.partial(_fold_rotary_kernel, t=t, nb=nb,
+                               n_heads=n_heads)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    rows = pl.BlockSpec((nb, t, d), lambda i: (i, 0, 0))
+    compiler_params = None
+    if _HAS_PLTPU and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
+        grid=(b // nb,),
+        in_specs=[rows, full(cos_w), full(sin_w), full(r), full(wq),
+                  full(wk), full(wv), full(wo), full(bq), full(bk),
+                  full(bv), full(bo),
+                  pl.BlockSpec((nb, 1, t), lambda i: (i, 0, 0))],
+        out_specs=rows,
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(x, cos_w, sin_w, r, wq, wk, wv, wo, bq, bk, bv, bo, mask8)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_folded_rotary(nb: int, n_heads: int, interpret: bool):
+    def impl(x, cos_w, sin_w, r, wq, wk, wv, wo, bq, bk, bv, bo, valid):
+        return _folded_rotary_pallas(x, cos_w, sin_w, r, wq, wk, wv, wo,
+                                     bq, bk, bv, bo, valid, nb, n_heads,
+                                     interpret)
+
+    f = custom_partitioning(impl)
+
+    def _shardings(x_sharding, mesh, arg_shapes):
+        b_s = x_sharding.spec[0] if len(x_sharding.spec) > 0 else None
+        x_sh = NamedSharding(mesh, PartitionSpec(b_s, None, None))
+        rep = [NamedSharding(mesh, PartitionSpec(*(None,) * len(a.shape)))
+               for a in arg_shapes[1:-1]]
+        valid_sh = NamedSharding(mesh, PartitionSpec(b_s, None))
+        return x_sh, rep, valid_sh
+
+    def partition(mesh, arg_shapes, result_shape):
+        x_sh, rep, valid_sh = _shardings(arg_shapes[0].sharding, mesh,
+                                         arg_shapes)
+        return mesh, impl, x_sh, (x_sh, *rep, valid_sh)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_s = (arg_shapes[0].sharding.spec[0]
+               if len(arg_shapes[0].sharding.spec) > 0 else None)
+        return NamedSharding(mesh, PartitionSpec(b_s, None, None))
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=("b t d, t e, t2 e2, r1 r2, w1 w2, w3 w4, w5 w6, "
+                       "w7 w8, c1 c2, c3 c4, c5 c6, c7 c8, b t "
+                       "-> b t d"),
+        need_replication_factors=("t", "d", "e", "t2", "e2", "r1", "r2",
+                                  "w1", "w2", "w3", "w4", "w5", "w6",
+                                  "w7", "w8", "c1", "c2", "c3", "c4",
+                                  "c5", "c6", "c7", "c8"),
+    )
+    return f
+
+
+def folded_rotary_attention(
+    params,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    valid: jnp.ndarray,
+    n_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole rotary attention module in one Pallas kernel (inference fwd).
+
+    Same signature semantics as ``ops/attention.py::rotary_mha``: x is the
+    post-LayerNorm input [B, T, D]; cos/sin [T, d_head]; valid [B, T].
+    Numerics match the composed path to bf16 tolerance (same math,
+    different blocking; pinned by ``tests/test_pallas_attention.py``).
+    Padded query rows are garbage by the same contract as ``fused_mha``.
+
+    Inference-only by design: the encoder gates this on ``not train`` and
+    the composed path (with its dedicated Pallas backward) keeps serving
+    training.
+    """
+    b, t, d = x.shape
+    dh = d // n_heads
+    scale = 1.0 / math.sqrt(dh)
+    dt = x.dtype
+    cos_w = jnp.tile(cos.astype(jnp.float32), (1, n_heads))
+    sin_w = jnp.tile(sin.astype(jnp.float32), (1, n_heads))
+    r = jnp.asarray(_rope_perm_matrix(n_heads, dh), dt)
+    wq = (params["linear_q"]["w"] * scale).astype(dt)   # scale folded in
+    wk = params["linear_k"]["w"].astype(dt)
+    wv = params["linear_v"]["w"].astype(dt)
+    wo = params["linear_out"]["w"].astype(dt)
+    f32 = jnp.float32
+    bq = (params["linear_q"]["b"] * scale).astype(f32)[None, :]
+    bk = params["linear_k"]["b"].astype(f32)[None, :]
+    bv = params["linear_v"]["b"].astype(f32)[None, :]
+    bo = params["linear_out"]["b"].astype(f32)[None, :]
+
+    # nb (rows per cell) heuristic, chip-measured: 1 wins at T'<=512,
+    # 4 wins at T'~750 (benchmarks/pallas_attn_fold_probe.py)
+    if t < 640:
+        nb = 1
+    else:
+        nb = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+    return _partitioned_folded_rotary(nb, n_heads, interpret)(
+        x, cos_w, sin_w, r, wq, wk, wv, wo, bq, bk, bv, bo, valid)
+
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mask_ref,
                      dq_ref, dk_ref, dv_ref, *, scale: float):
