@@ -99,6 +99,50 @@ def pipeline_flops(batch: int, wav_len: int, *, d: int = 768, layers: int = 16,
     return fl
 
 
+def train_step_flops(batch: int, wav_len: int, *, remat: str = "full",
+                     rel_pos: bool = False, head: str = "ctc",
+                     u_len: int = 32, vocab: int = 34,
+                     pred_hidden: int = 320, d: int = 768,
+                     codebook: int = 8192) -> dict:
+    """Analytic FLOPs for one fine-tune/pretrain step (round-4 verdict #4).
+
+    Returns {"model": F_model, "hardware": F_hw}:
+
+    * ``model`` — the conventional MFU numerator: 3x the forward (backward
+      contributes ~2x: one grad-vs-activations and one grad-vs-weights
+      matmul per forward matmul), PLUS the head/loss term, EXCLUDING
+      rematerialization recompute.
+    * ``hardware`` — what the chip actually executes: under
+      ``remat="full"`` the whole per-layer forward is recomputed in the
+      backward (+1x the layer stack); ``"dots"`` saves matmul outputs so
+      only elementwise work is recomputed (~0 extra matmul FLOPs).
+
+    MFU = model / t / peak;  HFU = hardware / t / peak.
+    """
+    fwd = pipeline_flops(batch, wav_len, rel_pos=rel_pos, vocab=vocab)
+    fwd_nonlayer = pipeline_flops(batch, wav_len, rel_pos=rel_pos,
+                                  vocab=vocab, layers=0)
+    fwd_layers = fwd - fwd_nonlayer
+
+    extra = 0.0
+    t_enc = _subsampled(
+        (wav_len - 400) // 160 + 1 if wav_len >= 400 else 0, 2)
+    if head == "rnnt":
+        # teacher-forced joint over the [B, T, U+1] lattice (chunked in
+        # time on-device, but the FLOPs are the same): enc/pred projections
+        # + the joint output matmul, fwd+bwd
+        joint = 2.0 * batch * t_enc * (u_len + 1) * pred_hidden * vocab
+        joint += 2.0 * batch * t_enc * d * pred_hidden            # enc proj
+        joint += 2.0 * batch * (u_len + 1) * pred_hidden * pred_hidden * 4
+        extra = 3.0 * joint
+    elif head == "bestrq":
+        extra = 3.0 * (2.0 * batch * t_enc * d * codebook)
+
+    model = 3.0 * fwd + extra
+    hardware = model + (fwd_layers if remat == "full" else 0.0)
+    return {"model": model, "hardware": hardware}
+
+
 # ---------------------------------------------------------------------------
 # Inner bench (runs in a subprocess with the real backend)
 # ---------------------------------------------------------------------------
