@@ -70,3 +70,30 @@ def test_device_timeit_chain_multi_leaf_and_int_args():
     t2 = device_timeit(int_fn, (jnp.arange(16, dtype=jnp.int32),),
                        k=3, windows=1, reps=2)
     assert t2 > 0.0
+
+
+def test_train_step_flops_model():
+    """Analytic train-FLOPs accounting (bench.py): invariants that keep the
+    MFU/HFU numbers in docs/PERF.md honest."""
+    from bench import pipeline_flops, train_step_flops
+
+    b, n = 8, 16000 * 20
+    fwd = pipeline_flops(b, n)
+    ctc_full = train_step_flops(b, n, remat="full", head="ctc")
+    ctc_dots = train_step_flops(b, n, remat="dots", head="ctc")
+    rnnt = train_step_flops(b, n, remat="full", head="rnnt")
+    bestrq = train_step_flops(b, n, remat="full", head="bestrq")
+
+    # model FLOPs = 3x forward (+ head extras); hardware adds remat only
+    assert ctc_full["model"] == 3.0 * fwd
+    assert ctc_dots["hardware"] == ctc_dots["model"] == ctc_full["model"]
+    assert ctc_full["hardware"] > ctc_full["model"]
+    # the remat surcharge is exactly the layer stack's forward
+    layers_fwd = fwd - pipeline_flops(b, n, layers=0)
+    assert ctc_full["hardware"] - ctc_full["model"] == layers_fwd
+    # heads add work on top of the shared encoder
+    assert rnnt["model"] > ctc_full["model"]
+    assert bestrq["model"] > ctc_full["model"]
+    # scaling: FLOPs are linear in batch
+    double = train_step_flops(2 * b, n, remat="full", head="ctc")
+    assert abs(double["model"] / ctc_full["model"] - 2.0) < 1e-6
