@@ -226,14 +226,25 @@ class GigaAM:
             return np.asarray(wav_file, dtype=np.float32)
         return load_audio(wav_file)
 
-    def embed_audio(self, wav_file: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def embed_audio(self, wav_file: str,
+                    layout: str = "btd") -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Extract encoder representations (``gigaam/model.py:57-63``).
 
-        Returns (encoded [1, T', D], enc_len [1]).  Note: time-major layout;
-        the reference returns [B, D, T'].
+        Returns (encoded, enc_len [1]).  ``layout`` selects the embedding
+        axis order — ``"btd"`` (default, [1, T', D]: this framework's
+        native time-major layout) or ``"bdt"`` ([1, D, T']: the
+        reference's return layout, for consumers porting code that
+        indexes ``emb[:, :, t]``).  The default differs from the
+        reference ON PURPOSE (time-major feeds every downstream op here
+        without a transpose); pass ``layout="bdt"`` for drop-in parity.
         """
+        if layout not in ("btd", "bdt"):
+            raise ValueError(f"layout must be 'btd' or 'bdt', got {layout!r}")
         wav = self.prepare_wav(wav_file)
-        return self.encode_batch([wav])
+        encoded, enc_len = self.encode_batch([wav])
+        if layout == "bdt":
+            encoded = jnp.transpose(encoded, (0, 2, 1))
+        return encoded, enc_len
 
     def to_exported(self, out_dir: str, **kw):
         """Serialize this model's serving graphs (StableHLO) to ``out_dir``.

@@ -151,6 +151,16 @@ def test_ssl_embed(wav_file):
     assert int(enc_len[0]) <= encoded.shape[1]
     assert np.isfinite(np.asarray(encoded)).all()
 
+    # layout="bdt" returns the reference's [B, D, T'] axis order —
+    # drop-in for consumers porting reference code (gigaam/model.py:57-63)
+    ref_layout, enc_len2 = model.embed_audio(wav_file, layout="bdt")
+    assert ref_layout.shape == (1, 64, encoded.shape[1])
+    np.testing.assert_array_equal(np.asarray(ref_layout),
+                                  np.asarray(encoded).transpose(0, 2, 1))
+    assert int(enc_len2[0]) == int(enc_len[0])
+    with pytest.raises(ValueError, match="layout"):
+        model.embed_audio(wav_file, layout="tbd")
+
 
 def test_emo_probs(wav_file):
     cfg = ModelConfig(
