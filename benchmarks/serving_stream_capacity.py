@@ -8,14 +8,14 @@ missing number: how per-stream stride latency degrades as concurrent streams
 contend for the shared dynamic-batching queue and the ``stream_slots``
 semaphore (serve.py defaults to 4).
 
-Each stream uploads s16le PCM paced at REAL TIME (chunk every ``chunk_s``)
-and a reader thread timestamps every NDJSON event on arrival.  The server
-emits exactly one ``partial`` event per stride (streaming.py::push), so the
-k-th partial's service latency is::
+Each stream uploads s16le PCM paced at REAL TIME (chunk k is sent at
+``t0 + k * chunk_s``, i.e. at the chunk's START time) and a reader thread
+timestamps every NDJSON event on arrival.  The server emits exactly one
+``partial`` event per stride (streaming.py::push); the k-th stride's last
+chunk is sent at ``t0 + (k+1) * stride_s - chunk_s``, so its service
+latency (queueing + decode + emission behind the triggering chunk) is::
 
-    lat_k = t_arrival(partial k) - (t_first_chunk_sent + (k+1) * stride_s)
-
-i.e. queueing + decode + emission delay behind the stride that triggered it.
+    lat_k = t_arrival(partial k) - (t0 + (k+1) * stride_s - chunk_s)
 Reported per stream count: p50/p95 stride latency, commit counts, and — when
 ``--bg_rps`` > 0 — p50/p95 latency of the background shortform requests that
 share the device queue.
@@ -113,7 +113,8 @@ def run_stream(port: int, wav: np.ndarray, chunk_s: float, sid: int):
     conn.close()
 
     partials = [t for t, kind in events if kind == "partial"]
-    lats = [t - (t0 + (k + 1) * STRIDE_S) for k, t in enumerate(partials)]
+    lats = [t - (t0 + (k + 1) * STRIDE_S - chunk_s)
+            for k, t in enumerate(partials)]
     return {
         "sid": sid,
         "status": status.get("code"),
