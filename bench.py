@@ -102,8 +102,8 @@ def pipeline_flops(batch: int, wav_len: int, *, d: int = 768, layers: int = 16,
 def train_step_flops(batch: int, wav_len: int, *, remat: str = "full",
                      rel_pos: bool = False, head: str = "ctc",
                      u_len: int = 32, vocab: int = 34,
-                     pred_hidden: int = 320, d: int = 768,
-                     codebook: int = 8192) -> dict:
+                     pred_hidden: int = 320, joint_hidden: int = 320,
+                     d: int = 768, codebook: int = 8192) -> dict:
     """Analytic FLOPs for one fine-tune/pretrain step (round-4 verdict #4).
 
     Returns {"model": F_model, "hardware": F_hw}:
@@ -130,10 +130,14 @@ def train_step_flops(batch: int, wav_len: int, *, remat: str = "full",
     if head == "rnnt":
         # teacher-forced joint over the [B, T, U+1] lattice (chunked in
         # time on-device, but the FLOPs are the same): enc/pred projections
-        # + the joint output matmul, fwd+bwd
-        joint = 2.0 * batch * t_enc * (u_len + 1) * pred_hidden * vocab
-        joint += 2.0 * batch * t_enc * d * pred_hidden            # enc proj
-        joint += 2.0 * batch * (u_len + 1) * pred_hidden * pred_hidden * 4
+        # into joint_hidden + the joint output matmul + the prediction-net
+        # LSTM (4 gates x input/recurrent matmuls), fwd+bwd.  The
+        # production config has joint_hidden == pred_hidden == 320 but the
+        # two are distinct knobs (``config.py::RNNTJointConfig``).
+        joint = 2.0 * batch * t_enc * (u_len + 1) * joint_hidden * vocab
+        joint += 2.0 * batch * t_enc * d * joint_hidden           # enc proj
+        joint += 2.0 * batch * (u_len + 1) * pred_hidden * joint_hidden
+        joint += 2.0 * batch * (u_len + 1) * pred_hidden * pred_hidden * 4 * 2
         extra = 3.0 * joint
     elif head == "bestrq":
         extra = 3.0 * (2.0 * batch * t_enc * d * codebook)
@@ -146,38 +150,6 @@ def train_step_flops(batch: int, wav_len: int, *, remat: str = "full",
 # ---------------------------------------------------------------------------
 # Inner bench (runs in a subprocess with the real backend)
 # ---------------------------------------------------------------------------
-
-def _timed_dispatches(run_k, arg_sets, k: int, windows: int = 3,
-                      reps: int = 5) -> float:
-    """Median-of-window / min-over-windows wall time per iteration.
-
-    ``run_k(*args)`` must return a device scalar whose value depends on
-    every iteration of its internal K-loop.  ``arg_sets`` holds >= 2
-    distinct input tuples, alternated across dispatches: repeated
-    identical dispatches can hit a degenerate result-reuse fast path on
-    the remote-TPU plugin and report impossible numbers.  The scalar is
-    consumed via a D2H ``float()`` read — the plugin's
-    ``block_until_ready`` can return early on a degenerate fast path;
-    a value read cannot.
-    """
-    import numpy as np
-
-    float(run_k(*arg_sets[0]))                      # compile + warm
-    float(run_k(*arg_sets[1 % len(arg_sets)]))
-    window_medians = []
-    n = 0
-    for _ in range(windows):
-        times = []
-        for _ in range(reps):
-            args = arg_sets[n % len(arg_sets)]
-            n += 1
-            t0 = time.perf_counter()
-            float(run_k(*args))
-            times.append((time.perf_counter() - t0) / k)
-        window_medians.append(float(np.median(times)))
-        time.sleep(0.5)
-    return min(window_medians)
-
 
 def _synth_batch(batch_size: int, seconds: int):
     import jax
@@ -194,36 +166,25 @@ def _synth_batch(batch_size: int, seconds: int):
     batch, lens = pad_wav_batch(wavs)
     batch = jnp.asarray(batch)
     lens = jnp.asarray(lens)
-    batches = [batch, batch + jnp.float32(1e-6)]
-    jax.block_until_ready(batches)
-    return batches, lens
+    jax.block_until_ready(batch)
+    return batch, lens
 
 
 def _measure(model, batch_size: int, seconds: int, k: int = 40):
-    """Median per-forward wall time for one batch size, device-side K-loop.
+    """Median per-forward wall time for one batch size.
 
-    The device-side loop of K forwards per dispatch amortizes the remote-TPU
-    tunnel's tens-of-ms host round trip; each iteration perturbs the input
-    (data dependency on the loop counter) so XLA cannot CSE the body.
+    Delegates to ``gigaam_tpu.profiling.device_timeit``, the repo's single
+    home for the remote-TPU measurement lore (device-side K-loop with
+    input perturbation, alternating physical buffers, D2H consumption of
+    an all-leaves anchor — see its docstring and docs/PERF.md).
     """
-    import jax
-    import jax.numpy as jnp
+    from gigaam_tpu.profiling import device_timeit
 
-    batches, lens = _synth_batch(batch_size, seconds)
-    pos = model._pos_for(batches[0].shape[1])
-
-    @jax.jit
-    def run_k(params, wavs_in, lens_in, pos_in):
-        def body(i, acc):
-            w = wavs_in + (1e-7 * i)
-            labels, keep, _tok_lp, enc_lens = model._ctc_forward_impl(
-                params, w, lens_in, pos_in)
-            return acc + labels.sum() + enc_lens.sum()
-
-        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-    return _timed_dispatches(
-        run_k, [(model.params, b, lens, pos) for b in batches], k)
+    batch, lens = _synth_batch(batch_size, seconds)
+    pos = model._pos_for(batch.shape[1])
+    return device_timeit(
+        model._ctc_forward_impl, (model.params, batch, lens, pos),
+        perturb_arg=1, k=k)
 
 
 def _measure_rnnt(model, batch_size: int, seconds: int):
@@ -239,49 +200,27 @@ def _measure_rnnt(model, batch_size: int, seconds: int):
     import jax.numpy as jnp
 
     from gigaam_tpu.decode.rnnt_greedy import rnnt_greedy_decode
+    from gigaam_tpu.profiling import device_timeit
 
     head = jax.tree.map(lambda x: x, model.params["head"])
     b_out = head["joint"]["out"]["b"]
     head["joint"]["out"]["b"] = b_out.at[b_out.shape[0] - 1].add(1e4)
 
-    batches, lens = _synth_batch(batch_size, seconds)
-    pos = model._pos_for(batches[0].shape[1])
+    batch, lens = _synth_batch(batch_size, seconds)
+    pos = model._pos_for(batch.shape[1])
 
-    k_enc = 20
+    dt_enc = device_timeit(
+        model._encode_impl, (model.params, batch, lens, pos),
+        perturb_arg=1, k=20, windows=2, reps=4)
 
-    @jax.jit
-    def enc_k(params, wavs_in, lens_in, pos_in):
-        def body(i, acc):
-            w = wavs_in + (1e-7 * i)
-            enc, enc_lens = model._encode_impl(params, w, lens_in, pos_in)
-            return acc + enc.astype(jnp.float32).sum() + enc_lens.sum()
-
-        return jax.lax.fori_loop(0, k_enc, body, jnp.float32(0))
-
-    dt_enc = _timed_dispatches(
-        enc_k, [(model.params, b, lens, pos) for b in batches], k_enc,
-        windows=2, reps=4)
-
-    enc, enc_lens = jax.jit(model._encode_impl)(
-        model.params, batches[0], lens, pos)
+    enc, enc_lens = jax.jit(model._encode_impl)(model.params, batch, lens,
+                                                pos)
     enc = enc.astype(jnp.float32)
-    encs = [enc, enc + jnp.float32(1e-6)]
-    jax.block_until_ready(encs)
+    jax.block_until_ready(enc)
 
-    k_dec = 10
-
-    @jax.jit
-    def dec_k(head_in, enc_in, lens_in):
-        def body(i, acc):
-            e = enc_in + (1e-7 * i)
-            out = rnnt_greedy_decode(head_in, e, lens_in)
-            return acc + out[0].sum() + out[2].sum()
-
-        return jax.lax.fori_loop(0, k_dec, body, jnp.int32(0))
-
-    dt_dec = _timed_dispatches(
-        dec_k, [(head, e, enc_lens) for e in encs], k_dec,
-        windows=2, reps=4)
+    dt_dec = device_timeit(
+        lambda h, e, el: rnnt_greedy_decode(h, e, el),
+        (head, enc, enc_lens), perturb_arg=1, k=10, windows=2, reps=4)
     return dt_enc, dt_dec
 
 

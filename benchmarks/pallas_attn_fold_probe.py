@@ -68,7 +68,7 @@ def _fold_kernel(x_ref, cos_ref, sin_ref, r_ref, wq_ref, wk_ref, wv_ref,
     xrot = jnp.dot(x, r_ref[:], preferred_element_type=jnp.float32)
     xr = (x.astype(jnp.float32) * cos_ref[:]
           + xrot * sin_ref[:]).astype(x.dtype)
-    scale = 1.0 / math.sqrt(DH)
+    # NOTE: 1/sqrt(d_h) is pre-folded into wq AND bq by the caller
     mask = mask_ref[0]                                  # [1, T] int8
     madd = (mask.astype(jnp.float32) - 1.0) * (-NEG_INF)
 
@@ -140,7 +140,7 @@ def _fold_kernel_nb(x_ref, cos_ref, sin_ref, r_ref, wq_ref, wk_ref, wv_ref,
     cs = jnp.concatenate([cos_ref[:]] * nb, axis=0)
     sn = jnp.concatenate([sin_ref[:]] * nb, axis=0)
     xr = (x.astype(jnp.float32) * cs + xrot * sn).astype(x.dtype)
-    scale = 1.0 / math.sqrt(DH)
+    # NOTE: 1/sqrt(d_h) is pre-folded into wq AND bq by the caller
 
     wq = wq_ref[:].reshape(D, D)
     wk = wk_ref[:].reshape(D, D)
@@ -187,7 +187,9 @@ def folded_attention_nb(x, params, cos_w, sin_w, r, valid, nb: int,
     wk = params["linear_k"]["w"].astype(x.dtype)[None]
     wv = params["linear_v"]["w"].astype(x.dtype)[None]
     wo = params["linear_out"]["w"].astype(x.dtype)
-    bq = params["linear_q"]["b"].astype(jnp.float32)[None, :]
+    # the 1/sqrt(d_h) fold must hit the bias too, or the logits carry an
+    # unscaled +bq term and parity vs the composed baseline is mismatched
+    bq = (params["linear_q"]["b"] * scale_q).astype(jnp.float32)[None, :]
     bk = params["linear_k"]["b"].astype(jnp.float32)[None, :]
     bv = params["linear_v"]["b"].astype(jnp.float32)[None, :]
     bo = params["linear_out"]["b"].astype(jnp.float32)[None, :]
@@ -226,7 +228,7 @@ def folded_attention(x, params, cos_w, sin_w, r, valid,
         wv_in = wv[None]                                  # [1, 768, 768]
     else:
         wq_in, wk_in, wv_in = wq[None], wk[None], wv[None]
-    bq = params["linear_q"]["b"].astype(jnp.float32)[None, :]
+    bq = (params["linear_q"]["b"] / math.sqrt(DH)).astype(jnp.float32)[None, :]
     bk = params["linear_k"]["b"].astype(jnp.float32)[None, :]
     bv = params["linear_v"]["b"].astype(jnp.float32)[None, :]
     bo = params["linear_out"]["b"].astype(jnp.float32)[None, :]

@@ -183,7 +183,9 @@ def main() -> None:
     def pct(xs, p):
         return round(float(np.percentile(xs, p)), 3) if xs else None
 
-    results = {"stride_s": STRIDE_S, "stream_slots": 4,
+    from gigaam_tpu.serve import STREAM_SLOTS
+
+    results = {"stride_s": STRIDE_S, "stream_slots": STREAM_SLOTS,
                "bg_rps": args.bg_rps, "runs": {}}
     for n in [int(x) for x in args.streams.split(",")]:
         wavs = [synth_audio(args.stream_seconds, seed=i) for i in range(n)]

@@ -114,6 +114,8 @@ def main() -> None:
                     help="'weights' to download/convert the real ckpt")
     ap.add_argument("--minutes", type=float, default=2.0)
     ap.add_argument("--stride_s", type=float, default=2.0)
+    ap.add_argument("--download_root", default=None,
+                    help="checkpoint cache dir (default ~/.cache/gigaam_tpu)")
     ap.add_argument("--http", action="store_true",
                     help="benchmark through a running server instead")
     ap.add_argument("--url", default="http://127.0.0.1:8000")
@@ -132,7 +134,8 @@ def main() -> None:
                "wall_s": round(wall, 2),
                "rtf": round(args.minutes * 60.0 / wall, 1)}
     else:
-        model = gigaam_tpu.load_model(args.model, init=args.init)
+        model = gigaam_tpu.load_model(args.model, init=args.init,
+                                      download_root=args.download_root)
         out = {"mode": "library", "model": args.model,
                **run_library(model, wav, args.stride_s)}
         if not args.no_quality:

@@ -133,15 +133,28 @@ class SentencePieceModel:
         return self.pieces[idx][0]
 
     def decode(self, ids: List[int]) -> str:
+        """Mirror of real sentencepiece's ``DecodeIds``.
+
+        Per-piece surface rules (sentencepiece_processor.cc
+        ``DecodeSentencePiece``): the word-boundary symbol becomes a space
+        *within normal pieces only* — byte-decoded content stays literal
+        (a byte run encoding U+2581 must decode to the character, not a
+        space); while the accumulated text is still empty, each normal
+        piece drops ONE leading word-boundary (the library's ``is_bos_ws``
+        prefix-consume, not a blanket lstrip).
+        """
         out: List[str] = []
         pending_bytes = bytearray()     # consecutive byte pieces -> UTF-8
+        bos = True                      # no visible text emitted yet
 
         def flush_bytes() -> None:
+            nonlocal bos
             if pending_bytes:
                 # real sentencepiece decodes byte-piece runs as UTF-8 with
                 # U+FFFD replacement for invalid sequences
                 out.append(pending_bytes.decode("utf-8", errors="replace"))
                 pending_bytes.clear()
+                bos = False
 
         for i in ids:
             piece, _, ptype = self.pieces[i]
@@ -153,11 +166,16 @@ class SentencePieceModel:
                 continue
             if ptype == _TYPE_UNKNOWN:
                 out.append(" ⁇ ")
+                bos = False
                 continue
+            if bos and piece.startswith(_WORD_BOUNDARY):
+                piece = piece[len(_WORD_BOUNDARY):]
+            piece = piece.replace(_WORD_BOUNDARY, " ")
+            if piece:
+                bos = False
             out.append(piece)
         flush_bytes()
-        text = "".join(out).replace(_WORD_BOUNDARY, " ")
-        return text.lstrip(" ")
+        return "".join(out)
 
     def encode(self, text: str) -> List[int]:
         """Unigram Viterbi segmentation (max sum of piece log-probs).

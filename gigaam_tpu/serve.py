@@ -48,6 +48,14 @@ from .config import LONGFORM_THRESHOLD_SEC, SAMPLE_RATE
 from .models.model import GigaAMASR
 from .types import TranscriptionResult
 
+# concurrency caps for requests that live outside the shortform batching
+# queue; STREAM_SLOTS is measured-justified by
+# benchmarks/serving_stream_capacity.py (p95 stride latency stays flat
+# through 4 concurrent streams with background traffic)
+LONGFORM_SLOTS = 2
+STREAM_SLOTS = 4
+
+
 class ASRHTTPServer(ThreadingHTTPServer):
     """ThreadingHTTPServer with a listen backlog sized for request bursts
     (the stdlib default of 5 resets connections when a batch of clients
@@ -101,10 +109,12 @@ class BatchingASRServer:
         # longform requests run outside the batching queue; cap their
         # concurrency so a burst of hour-long posts cannot spawn unbounded
         # competing device-inference threads
-        self.longform_slots = threading.BoundedSemaphore(2)
+        self.longform_slots = threading.BoundedSemaphore(LONGFORM_SLOTS)
         # live streams likewise: each holds a handler thread and issues
         # periodic single-row decodes for its whole lifetime
-        self.stream_slots = threading.BoundedSemaphore(4)
+        # (capacity justified by benchmarks/serving_stream_capacity.py,
+        # which imports STREAM_SLOTS so the artifact tracks this value)
+        self.stream_slots = threading.BoundedSemaphore(STREAM_SLOTS)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()

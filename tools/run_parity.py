@@ -114,6 +114,7 @@ def main() -> int:
     # 3. optional neural VAD conversion to the auto-discovery location,
     # plus real-weights parity when pyannote.audio itself is importable
     if args.vad:
+        cfg = params = None
         try:
             from gigaam_tpu.checkpoint import convert_pyannote_vad
             from gigaam_tpu.models.vad_net import save_vad
@@ -124,18 +125,23 @@ def main() -> int:
         except Exception as e:
             failures.append(f"vad: {e}")
             section("vad_convert", f"FAILED: {e}")
-        try:
-            delta = _vad_realweights_parity(args.vad, cfg, params)
-            if delta > 1e-2:
-                failures.append(f"vad parity: max|dP|={delta:.4f} > 1e-2")
-                section("vad_parity", "FAILED", max_abs_dprob=delta)
-            else:
-                section("vad_parity", "ok", max_abs_dprob=delta)
-        except ImportError:
-            section("vad_parity", "skipped (pyannote.audio not installed)")
-        except Exception as e:
-            failures.append(f"vad parity: {e}")
-            section("vad_parity", f"FAILED: {e}")
+        if params is None:
+            # conversion already failed and was recorded; one root cause
+            # must not double-count as a second "parity" failure
+            section("vad_parity", "skipped (conversion failed)")
+        else:
+            try:
+                delta = _vad_realweights_parity(args.vad, cfg, params)
+                if delta > 1e-2:
+                    failures.append(f"vad parity: max|dP|={delta:.4f} > 1e-2")
+                    section("vad_parity", "FAILED", max_abs_dprob=delta)
+                else:
+                    section("vad_parity", "ok", max_abs_dprob=delta)
+            except ImportError:
+                section("vad_parity", "skipped (pyannote.audio not installed)")
+            except Exception as e:
+                failures.append(f"vad parity: {e}")
+                section("vad_parity", f"FAILED: {e}")
 
     # 4. golden suite — the crosscheck first: it parses the reference's own
     # test sources and fails loudly if our golden constants drifted from
@@ -177,9 +183,9 @@ def main() -> int:
             proc = subprocess.run(
                 [sys.executable,
                  os.path.join(REPO, "benchmarks", "streaming_bench.py"),
-                 "--model", "v3_ctc", "--init", "weights", "--minutes", "2"],
-                capture_output=True, text=True, timeout=1800, cwd=REPO,
-                env=dict(os.environ, GIGAAM_CACHE=args.root))
+                 "--model", "v3_ctc", "--init", "weights", "--minutes", "2",
+                 "--download_root", args.root],
+                capture_output=True, text=True, timeout=1800, cwd=REPO)
             line = next((ln for ln in reversed(proc.stdout.splitlines())
                          if ln.strip().startswith("{")), None)
             data = json.loads(line) if line else {}
