@@ -211,6 +211,41 @@ def test_sp_byte_fallback_encode_decode(tmp_path):
     assert m.decode([3 + 0xD0]) == "�"
 
 
+def test_sp_decode_bos_and_byte_run_surface_rules(tmp_path):
+    """decode() mirrors real sentencepiece's per-piece surface rules
+    (sentencepiece_processor.cc ``DecodeSentencePiece``): byte-decoded
+    content is literal — a byte run encoding U+2581 yields the character,
+    not a space — and while the output is still empty each normal piece
+    drops exactly ONE leading word-boundary (not a blanket lstrip)."""
+    from test_export_serve import _write_tiny_sp_model
+
+    from gigaam_tpu.decode.tokenizer import SentencePieceModel
+
+    path = str(tmp_path / "tok.model")
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3)]
+    pieces += [(f"<0x{b:02X}>", 0.0, 6) for b in range(256)]
+    base = len(pieces)
+    pieces += [("▁аб", -0.5, 1), ("▁▁аб", -0.9, 1), ("▁", -1.0, 1)]
+    _write_tiny_sp_model(path, pieces)
+    m = SentencePieceModel(path)
+
+    # byte run for U+2581 (the word-boundary glyph itself): literal
+    wb_bytes = [3 + b for b in "▁".encode("utf-8")]
+    assert m.decode(wb_bytes) == "▁"
+    # ... including at the start, and it ends the BOS window: the next
+    # piece's leading ▁ becomes a real space
+    assert m.decode(wb_bytes + [base]) == "▁ аб"
+
+    # one leading ▁ consumed per piece while output is empty
+    assert m.decode([base]) == "аб"
+    assert m.decode([base + 2, base]) == "аб"       # "▁" -> "", still BOS
+    assert m.decode([base + 1]) == " аб"            # double-▁: inner kept
+    # control pieces keep the BOS window open
+    assert m.decode([1, base]) == "аб"
+    # after text exists, ▁ is a space everywhere
+    assert m.decode([base, base]) == "аб аб"
+
+
 def test_sp_no_byte_pieces_keeps_unk_fallback(tmp_path):
     """Without byte-fallback pieces, OOV chars still map to unk."""
     from test_export_serve import _write_tiny_sp_model
