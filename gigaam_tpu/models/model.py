@@ -269,6 +269,7 @@ class GigaAMASR(GigaAM):
         super().__init__(cfg, **kw)
         self.blank_id = len(self.tokenizer)
         self._ctc_lp_jit = None
+        self._align_jit = None  # built on first align() call
         if isinstance(cfg.head, CTCHeadConfig):
             self._asr_fwd = jax.jit(self._ctc_forward_impl)
             # built eagerly (the wrapper is free; compilation stays lazy):
@@ -513,6 +514,73 @@ class GigaAMASR(GigaAM):
                                          lm_weight=lm_weight,
                                          token_bonus=token_bonus)[0]
         return TranscriptionResult(text=text, words=words)
+
+    def align(self, wav_file: Union[str, np.ndarray],
+              text: str) -> TranscriptionResult:
+        """CTC forced alignment: word timestamps for a KNOWN transcript.
+
+        Viterbi over the blank-interleaved target lattice
+        (``decode/align.py``) — the most probable CTC path that emits
+        exactly ``text``; each Word carries its aligned [start, end) span
+        and ``confidence = exp(mean frame posterior)`` over the frames the
+        path occupies it.  An extension over the reference (which has no
+        alignment surface); standard uses: subtitle timing, corpus
+        segmentation, keyword audit.  CTC models only (the RNNT lattice
+        has no per-frame token states to align).
+
+        Raises ``ValueError`` when the transcript cannot fit the audio
+        (more CTC states than encoder frames, or a -inf path).
+        """
+        if self._ctc_lp_jit is None:
+            raise ValueError("align() requires a CTC model "
+                             "(v*_ctc / e2e_ctc); RNNT has no frame-level "
+                             "alignment lattice")
+        wav = self.prepare_wav(wav_file)
+        if len(wav) > LONGFORM_THRESHOLD_SEC * SAMPLE_RATE:
+            raise ValueError(
+                "Too long wav file for align(): VAD-segment it first "
+                "(transcribe_longform covers unknown-transcript audio)")
+        # the training pipeline's reference normalization (ё->е, lowercase,
+        # whitespace squeeze, vocab filter — ``data.py::normalize_text``)
+        # makes real-world transcripts alignable against the char vocab
+        # (which has no 'ё'); SP models then Viterbi-segment the result
+        from ..data import normalize_text
+
+        vocab = self.cfg.decoding.vocabulary if self.tokenizer.charwise \
+            else None
+        ids = self.tokenizer.encode(
+            normalize_text(text, vocab, raw_text=True))
+        if not ids:
+            return TranscriptionResult(text="", words=[])
+
+        from ..decode.align import backtrack, pad_targets, viterbi_align
+
+        wavs, _ = self._dp_pad([wav])
+        batch, lens = pad_wav_batch(wavs)
+        pos = self._pos_for(batch.shape[1])
+        dev_batch, dev_lens = self._device_batch(batch, lens)
+        log_probs, enc_lens = self._ctc_lp_jit(self.params, dev_batch,
+                                               dev_lens, pos)
+        if self._align_jit is None:
+            self._align_jit = jax.jit(viterbi_align)
+        targets = pad_targets(ids)
+        bp, final_state, score = self._align_jit(
+            log_probs[0], enc_lens[0], jnp.asarray(targets),
+            np.int32(len(ids)), np.int32(self.blank_id))
+        enc_len = int(tree_to_host(enc_lens)[0])
+        if not np.isfinite(float(score)) or float(score) <= -1e29:
+            raise ValueError(
+                f"transcript does not fit the audio: {len(ids)} tokens "
+                f"need more than the {enc_len} encoder frames available")
+        lp_np = np.asarray(tree_to_host(log_probs))[0]
+        frames, logps = backtrack(np.asarray(tree_to_host(bp)),
+                                  int(tree_to_host(final_state)), enc_len,
+                                  len(ids), lp_np, targets)
+        shift = compute_frame_shift(int(lens[0]), enc_len)
+        words = frames_to_words(self.tokenizer, ids, frames, shift,
+                                token_logps=logps)
+        return TranscriptionResult(text=self.tokenizer.decode(ids),
+                                   words=words)
 
     def transcribe_longform(
         self,
