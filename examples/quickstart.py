@@ -78,6 +78,12 @@ def main():
         print("== RNNT beam search")
         print("  beam-4:", repr(model.transcribe(
             f"{tmp}/short.wav", beam_size=4).text))
+    elif res.text.strip():
+        print("== forced alignment of a known transcript (CTC)")
+        ali = model.align(f"{tmp}/short.wav", res.text)
+        for w in (ali.words or [])[:3]:
+            print(f"  word {w.text!r}  [{w.start:.2f}, {w.end:.2f}]"
+                  f"  conf {w.confidence:.2f}")
 
     print("== longform (VAD segmentation + batched decode)")
     long_res = model.transcribe_longform(f"{tmp}/long.wav")
