@@ -292,7 +292,6 @@ def _layer_forward(
     y = ffn(lp["feed_forward1"], layer_norm(lp["norm_feed_forward1"], x))
     residual = residual + 0.5 * y
 
-    y = layer_norm(lp["norm_self_att"], residual)
     use_fused = use_folded = False
     if cfg.flash_attn:
         from ..ops.pallas_attention import (
@@ -302,27 +301,32 @@ def _layer_forward(
 
         kind = ("sdpa" if cfg.self_attention_model == "rotary" else "relpos")
         use_fused = fused_attention_available(x.shape[1], kind)
-        # inference forward: the whole attention module runs as ONE Pallas
-        # kernel (RoPE + projections + SDPA + out-projection; -13% at b32,
-        # -22% at b128 vs the composed path, PERF.md round 5).  Training
-        # keeps the composed path, whose dedicated Pallas backward kernels
-        # carry the custom VJPs.
+        # inference forward: the whole attention sub-block (pre-LN -> RoPE
+        # -> projections -> per-head SDPA -> out-projection -> residual
+        # add) runs as ONE Pallas kernel — the module fold was -13% at b32
+        # / -22% at b128 over the composed path, and folding the LN +
+        # residual passes takes a further -6.5% / -4.6% per module
+        # (PERF.md round 5).  Training keeps the composed path, whose
+        # dedicated Pallas backward kernels carry the custom VJPs.
         use_folded = (kind == "sdpa" and not train and use_fused
                       and folded_attention_available(x.shape[1]))
-    if cfg.self_attention_model == "rotary":
-        cos, sin = pos
-        if use_folded:
-            from ..ops.pallas_attention import folded_rotary_attention
+    if cfg.self_attention_model == "rotary" and use_folded:
+        from ..ops.pallas_attention import folded_rotary_attention_lnres
 
-            y = folded_rotary_attention(lp["self_attn"], y, cos, sin,
-                                        valid, cfg.n_heads)
-        else:
+        cos, sin = pos
+        residual = folded_rotary_attention_lnres(
+            lp["norm_self_att"], lp["self_attn"], residual, cos, sin,
+            valid, cfg.n_heads)
+    else:
+        y = layer_norm(lp["norm_self_att"], residual)
+        if cfg.self_attention_model == "rotary":
+            cos, sin = pos
             y = rotary_mha(lp["self_attn"], y, cos, sin, valid, cfg.n_heads,
                            use_fused=use_fused)
-    else:
-        y = relpos_mha(lp["self_attn"], y, pos, valid, cfg.n_heads,
-                       use_fused=use_fused)
-    residual = residual + y
+        else:
+            y = relpos_mha(lp["self_attn"], y, pos, valid, cfg.n_heads,
+                           use_fused=use_fused)
+        residual = residual + y
 
     y = layer_norm(lp["norm_conv"], residual)
     y, new_stats = conformer_conv(lp["conv"], y, valid, cfg.conv_norm_type,

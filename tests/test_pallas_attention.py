@@ -309,6 +309,107 @@ def test_folded_rotary_module_matches_composed():
                 err_msg=f"nb={nb} b={bi}")
 
 
+def test_folded_lnres_matches_composed():
+    """The LN + attention + residual kernel must match
+    ``x + rotary_mha(layer_norm(x))`` on valid rows for every nb variant
+    (the fp32 in-kernel LN/residual vs the composed fp32 LN are the same
+    math; only bf16-level blocking differences remain)."""
+    from gigaam_tpu.ops.attention import rotary_mha
+    from gigaam_tpu.ops.conformer_ops import layer_norm
+    from gigaam_tpu.ops.pallas_attention import (
+        _folded_lnres_pallas,
+        _rope_perm_matrix,
+    )
+    from gigaam_tpu.ops.rotary import rotary_tables
+
+    b, t, dm, h = 4, 96, 128, 4
+    dh = dm // h
+    rng = np.random.default_rng(11)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    lin = lambda i, o: {"w": f32(i, o) * 0.1, "b": f32(o) * 0.1}
+    params = {"linear_q": lin(dm, dm), "linear_k": lin(dm, dm),
+              "linear_v": lin(dm, dm), "linear_out": lin(dm, dm)}
+    ln_p = {"scale": 1.0 + 0.1 * f32(dm), "bias": 0.1 * f32(dm)}
+    x = f32(b, t, dm) * 0.5
+    cos_np, sin_np = rotary_tables(t, dh, 5000.0)
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    valid = np.ones((b, t), bool)
+    valid[1, 60:] = False
+    valid_j = jnp.asarray(valid)
+
+    ref = np.asarray(x + rotary_mha(params, layer_norm(ln_p, x), cos, sin,
+                                    valid_j, h, use_fused=False))
+
+    scale = 1.0 / np.sqrt(dh)
+    args = (ln_p["scale"][None, :], ln_p["bias"][None, :],
+            jnp.tile(cos, (1, h)), jnp.tile(sin, (1, h)),
+            jnp.asarray(_rope_perm_matrix(h, dh)),
+            params["linear_q"]["w"] * scale, params["linear_k"]["w"],
+            params["linear_v"]["w"], params["linear_out"]["w"],
+            (params["linear_q"]["b"] * scale)[None, :],
+            params["linear_k"]["b"][None, :],
+            params["linear_v"]["b"][None, :],
+            params["linear_out"]["b"][None, :])
+    for nb in (1, 2, 4):
+        got = np.asarray(_folded_lnres_pallas(
+            x, *args, valid_j, nb, h, interpret=True))
+        for bi in range(b):
+            tv = valid[bi].sum()
+            np.testing.assert_allclose(
+                got[bi, :tv], ref[bi, :tv], atol=5e-4, rtol=5e-4,
+                err_msg=f"nb={nb} b={bi}")
+
+
+def test_folded_lnres_public_wrapper_and_mesh():
+    """folded_rotary_attention_lnres end to end in interpret mode, plus
+    sharded execution under a data-parallel mesh."""
+    from gigaam_tpu.ops.attention import rotary_mha
+    from gigaam_tpu.ops.conformer_ops import layer_norm
+    from gigaam_tpu.ops.pallas_attention import folded_rotary_attention_lnres
+    from gigaam_tpu.ops.rotary import rotary_tables
+
+    b, t, dm, h = 8, 64, 128, 4
+    rng = np.random.default_rng(12)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    lin = lambda i, o: {"w": f32(i, o) * 0.1, "b": f32(o) * 0.1}
+    params = {"linear_q": lin(dm, dm), "linear_k": lin(dm, dm),
+              "linear_v": lin(dm, dm), "linear_out": lin(dm, dm)}
+    ln_p = {"scale": 1.0 + 0.1 * f32(dm), "bias": 0.1 * f32(dm)}
+    x = f32(b, t, dm) * 0.5
+    cos_np, sin_np = rotary_tables(t, dm // h, 5000.0)
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    valid = np.ones((b, t), bool)
+    valid[2, 40:] = False
+    valid_j = jnp.asarray(valid)
+
+    ref = np.asarray(x + rotary_mha(params, layer_norm(ln_p, x), cos, sin,
+                                    valid_j, h, use_fused=False))
+    got = np.asarray(folded_rotary_attention_lnres(
+        ln_p, params, x, cos, sin, valid_j, h, interpret=True))
+    for bi in range(b):
+        tv = valid[bi].sum()
+        np.testing.assert_allclose(got[bi, :tv], ref[bi, :tv],
+                                   atol=5e-4, rtol=5e-4)
+
+    import jax as _jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devs = _jax.devices()
+    if len(devs) >= 2:
+        mesh = Mesh(np.array(devs[:2]), ("data",))
+        xs = _jax.device_put(
+            x, NamedSharding(mesh, PartitionSpec("data", None, None)))
+        vs = _jax.device_put(
+            valid_j, NamedSharding(mesh, PartitionSpec("data", None)))
+        with mesh:
+            out = _jax.jit(lambda xx, vv: folded_rotary_attention_lnres(
+                ln_p, params, xx, cos, sin, vv, h, interpret=True))(xs, vs)
+        for bi in range(b):
+            tv = valid[bi].sum()
+            np.testing.assert_allclose(np.asarray(out)[bi, :tv],
+                                       ref[bi, :tv], atol=5e-4, rtol=5e-4)
+
+
 def test_folded_rotary_public_wrapper_and_mesh(monkeypatch):
     """folded_rotary_attention end to end (wide-table build, weight
     prescale, nb clamp) in interpret mode, plus sharded execution under a
