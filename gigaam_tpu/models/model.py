@@ -531,15 +531,27 @@ class GigaAMASR(GigaAM):
         Raises ``ValueError`` when the transcript cannot fit the audio
         (more CTC states than encoder frames, or a -inf path).
         """
+        return self.align_batch([wav_file], [text])[0]
+
+    def align_batch(self, wav_files: List[Union[str, np.ndarray]],
+                    texts: List[str]) -> List[TranscriptionResult]:
+        """Batched :meth:`align`: one encoder forward for the whole batch,
+        the Viterbi DP ``vmap``-ed over samples (targets pad to a shared
+        bucket so one compiled graph serves the batch)."""
         if self._ctc_lp_jit is None:
             raise ValueError("align() requires a CTC model "
                              "(v*_ctc / e2e_ctc); RNNT has no frame-level "
                              "alignment lattice")
-        wav = self.prepare_wav(wav_file)
-        if len(wav) > LONGFORM_THRESHOLD_SEC * SAMPLE_RATE:
-            raise ValueError(
-                "Too long wav file for align(): VAD-segment it first "
-                "(transcribe_longform covers unknown-transcript audio)")
+        if len(wav_files) != len(texts):
+            raise ValueError(f"{len(wav_files)} wavs vs {len(texts)} texts")
+        if not wav_files:
+            return []
+        in_wavs = [self.prepare_wav(w) for w in wav_files]
+        for i, w in enumerate(in_wavs):
+            if len(w) > LONGFORM_THRESHOLD_SEC * SAMPLE_RATE:
+                raise ValueError(
+                    f"wav {i} too long for align(): VAD-segment it first "
+                    "(transcribe_longform covers unknown-transcript audio)")
         # the training pipeline's reference normalization (ё->е, lowercase,
         # whitespace squeeze, vocab filter — ``data.py::normalize_text``)
         # makes real-world transcripts alignable against the char vocab
@@ -548,39 +560,58 @@ class GigaAMASR(GigaAM):
 
         vocab = self.cfg.decoding.vocabulary if self.tokenizer.charwise \
             else None
-        ids = self.tokenizer.encode(
-            normalize_text(text, vocab, raw_text=True))
-        if not ids:
-            return TranscriptionResult(text="", words=[])
+        ids_list = [self.tokenizer.encode(
+            normalize_text(t, vocab, raw_text=True)) for t in texts]
 
         from ..decode.align import backtrack, pad_targets, viterbi_align
 
-        wavs, _ = self._dp_pad([wav])
+        n = len(in_wavs)
+        wavs, _ = self._dp_pad(in_wavs)
         batch, lens = pad_wav_batch(wavs)
         pos = self._pos_for(batch.shape[1])
         dev_batch, dev_lens = self._device_batch(batch, lens)
         log_probs, enc_lens = self._ctc_lp_jit(self.params, dev_batch,
                                                dev_lens, pos)
         if self._align_jit is None:
-            self._align_jit = jax.jit(viterbi_align)
-        targets = pad_targets(ids)
-        bp, final_state, score = self._align_jit(
-            log_probs[0], enc_lens[0], jnp.asarray(targets),
-            np.int32(len(ids)), np.int32(self.blank_id))
-        enc_len = int(tree_to_host(enc_lens)[0])
-        if not np.isfinite(float(score)) or float(score) <= -1e29:
+            self._align_jit = jax.jit(
+                jax.vmap(viterbi_align, in_axes=(0, 0, 0, 0, None)))
+        per_sample = [pad_targets(ids) for ids in ids_list]
+        u_pad = max(t.shape[0] for t in per_sample)
+        targets = np.zeros((n, u_pad), np.int32)
+        for i, t in enumerate(per_sample):
+            targets[i, :t.shape[0]] = t
+        tlens = np.asarray([len(ids) for ids in ids_list], np.int32)
+        bp, final_state, scores = self._align_jit(
+            log_probs[:n], enc_lens[:n], jnp.asarray(targets),
+            jnp.asarray(tlens), np.int32(self.blank_id))
+        enc_lens_np = tree_to_host(enc_lens)
+        scores_np = np.asarray(tree_to_host(scores))
+        bad = [i for i in range(n)
+               if len(ids_list[i])
+               and (not np.isfinite(scores_np[i]) or scores_np[i] <= -1e29)]
+        if bad:
             raise ValueError(
-                f"transcript does not fit the audio: {len(ids)} tokens "
-                f"need more than the {enc_len} encoder frames available")
-        lp_np = np.asarray(tree_to_host(log_probs))[0]
-        frames, logps = backtrack(np.asarray(tree_to_host(bp)),
-                                  int(tree_to_host(final_state)), enc_len,
-                                  len(ids), lp_np, targets)
-        shift = compute_frame_shift(int(lens[0]), enc_len)
-        words = frames_to_words(self.tokenizer, ids, frames, shift,
-                                token_logps=logps)
-        return TranscriptionResult(text=self.tokenizer.decode(ids),
-                                   words=words)
+                f"transcript does not fit the audio for sample(s) {bad}: "
+                f"more CTC states than encoder frames "
+                f"({[(len(ids_list[i]), int(enc_lens_np[i])) for i in bad]}"
+                f" as (tokens, frames))")
+        bp_np = np.asarray(tree_to_host(bp))
+        fs_np = np.asarray(tree_to_host(final_state))
+        lp_np = np.asarray(tree_to_host(log_probs))
+        out: List[TranscriptionResult] = []
+        for i, ids in enumerate(ids_list):
+            if not ids:
+                out.append(TranscriptionResult(text="", words=[]))
+                continue
+            enc_len = int(enc_lens_np[i])
+            frames, logps = backtrack(bp_np[i], int(fs_np[i]), enc_len,
+                                      len(ids), lp_np[i], targets[i])
+            shift = compute_frame_shift(int(lens[i]), enc_len)
+            out.append(TranscriptionResult(
+                text=self.tokenizer.decode(ids),
+                words=frames_to_words(self.tokenizer, ids, frames, shift,
+                                      token_logps=logps)))
+        return out
 
     def transcribe_longform(
         self,

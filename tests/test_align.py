@@ -134,6 +134,41 @@ def test_model_align_api(tmp_path):
         rnnt.align(path, "привет")
 
 
+def test_model_align_batch_matches_single(tmp_path):
+    """align_batch == per-file align, and handles empty transcripts and
+    arg-length mismatches."""
+    from test_model_api import tiny_ctc_cfg
+
+    from gigaam_tpu.audio import save_wav
+    from gigaam_tpu.models.model import GigaAMASR
+
+    rng = np.random.default_rng(7)
+    paths = []
+    for i, sec in enumerate((1.0, 2.0)):
+        wav = (0.2 * rng.standard_normal(int(16000 * sec))).astype(
+            np.float32)
+        p = str(tmp_path / f"n{i}.wav")
+        save_wav(p, wav)
+        paths.append(p)
+    model = GigaAMASR(tiny_ctc_cfg(), seed=0, compute_dtype=jnp.float32)
+    texts = [model.transcribe(p).text for p in paths]
+    if not all(t.strip() for t in texts):
+        pytest.skip("random weights produced an empty transcript")
+    singles = [model.align(p, t) for p, t in zip(paths, texts)]
+    batched = model.align_batch(paths, texts)
+    for s, b in zip(singles, batched):
+        assert s.text == b.text
+        assert [(w.text, w.start, w.end) for w in s.words] == \
+               [(w.text, w.start, w.end) for w in b.words]
+
+    # empty transcript rides along as an empty result
+    mixed = model.align_batch(paths, [texts[0], ""])
+    assert mixed[1].text == "" and mixed[1].words == []
+    with pytest.raises(ValueError, match="wavs vs"):
+        model.align_batch(paths, [texts[0]])
+    assert model.align_batch([], []) == []
+
+
 def test_model_align_infeasible_transcript(tmp_path):
     """A transcript with more CTC states than encoder frames raises."""
     from test_model_api import tiny_ctc_cfg
