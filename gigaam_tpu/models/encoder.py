@@ -278,6 +278,12 @@ def init_encoder_params(key: jax.Array, cfg: EncoderConfig) -> Params:
 # Forward
 # ---------------------------------------------------------------------------
 
+# smallest (global) batch at which the LN+residual-folded attention kernel
+# beats the module-fold + composed LN/add (chip A/B 2026-08-21: b8 +0.7%
+# against, b32 -1.3% end-to-end in favor)
+_LNRES_MIN_BATCH = 16
+
+
 def _layer_forward(
     lp: Params,
     x: jnp.ndarray,
@@ -311,12 +317,24 @@ def _layer_forward(
         use_folded = (kind == "sdpa" and not train and use_fused
                       and folded_attention_available(x.shape[1]))
     if cfg.self_attention_model == "rotary" and use_folded:
-        from ..ops.pallas_attention import folded_rotary_attention_lnres
-
         cos, sin = pos
-        residual = folded_rotary_attention_lnres(
-            lp["norm_self_att"], lp["self_attn"], residual, cos, sin,
-            valid, cfg.n_heads)
+        # LN+residual join the fold only at serving batches: at b8 the
+        # in-model A/B reads +0.7% for the lnres variant (XLA already
+        # overlaps the LN/residual passes at small batch; the kernel
+        # boundary serializes them), while b32 is -1.3% end-to-end in
+        # its favor (PERF.md round-5 second fold)
+        if x.shape[0] >= _LNRES_MIN_BATCH:
+            from ..ops.pallas_attention import folded_rotary_attention_lnres
+
+            residual = folded_rotary_attention_lnres(
+                lp["norm_self_att"], lp["self_attn"], residual, cos, sin,
+                valid, cfg.n_heads)
+        else:
+            from ..ops.pallas_attention import folded_rotary_attention
+
+            y = layer_norm(lp["norm_self_att"], residual)
+            residual = residual + folded_rotary_attention(
+                lp["self_attn"], y, cos, sin, valid, cfg.n_heads)
     else:
         y = layer_norm(lp["norm_self_att"], residual)
         if cfg.self_attention_model == "rotary":
